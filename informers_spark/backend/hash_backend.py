@@ -1,0 +1,151 @@
+"""Deterministic inference backend for offline runs.
+
+Replaces the transformer forward pass with seeded-hash token embeddings
+and rule/lexicon-based taggers, while keeping the EXACT post-processing
+dataflow of the reference pipelines (mean-pool → L2-normalize, per-token
+argmax → BIO grouping, softmax over logits). Pipeline code above the
+backend line is identical between this and the ONNX backend, so the
+Spark plumbing (batching, schemas, shuffles) is exercised for real.
+
+Everything is deterministic in the token string — stable across
+processes, executors, and runs (no PYTHONHASHSEED dependence).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+_CAP_RE = re.compile(r"^[A-Z][a-z]+$")
+
+# tiny gazetteers so NER produces typed groups deterministically
+_PER = {"matz", "guido", "linus", "grace", "ada", "alan", "dennis", "ken"}
+_LOC = {"london", "tokyo", "paris", "berlin", "kyoto", "osaka", "austin"}
+_ORG = {"google", "apache", "github", "shopify", "mozilla",
+        "spark", "framework", "ruby", "core", "team"}
+
+_NER_LABELS = [
+    "O",
+    "B-PER",
+    "I-PER",
+    "B-ORG",
+    "I-ORG",
+    "B-LOC",
+    "I-LOC",
+    "B-MISC",
+    "I-MISC",
+]
+
+_POSITIVE = {"love", "great", "good", "fast", "excellent", "best", "like", "happy"}
+_NEGATIVE = {"hate", "bad", "slow", "terrible", "worst", "broken", "sad", "bug"}
+
+_STOP = {
+    "the", "a", "an", "is", "are", "was", "of", "to", "in", "and", "or",
+    "by", "for", "with", "on", "at", "it", "this", "that", "be", "as",
+}
+
+
+def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
+    """(word, start, end) tokens; word-level stand-in for the reference's
+    subword tokenizer (reference: lib/informers/tokenizers.rb:65-119)."""
+    return [(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+
+
+def _token_vector(token: str, dim: int) -> np.ndarray:
+    """Stable pseudo-embedding: md5(token) seeds a PCG64 normal draw."""
+    seed = int.from_bytes(hashlib.md5(token.lower().encode()).digest()[:8], "little")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+class HashBackend:
+    def __init__(self, dim: int = 64, max_tokens: int = 512, **_):
+        self.dim = dim
+        self.max_tokens = max_tokens
+        self._vec_cache: dict[str, np.ndarray] = {}
+
+    def _vec(self, token: str) -> np.ndarray:
+        v = self._vec_cache.get(token)
+        if v is None:
+            v = _token_vector(token, self.dim)
+            self._vec_cache[token] = v
+        return v
+
+    # --- embedding path ---------------------------------------------------
+    def encode(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        tok_lists = [
+            [t for t, _, _ in tokenize_with_offsets(x)][: self.max_tokens] or [""]
+            for x in texts
+        ]
+        max_len = max(len(t) for t in tok_lists)
+        b = len(texts)
+        hidden = np.zeros((b, max_len, self.dim), dtype=np.float32)
+        mask = np.zeros((b, max_len), dtype=np.int64)
+        for i, toks in enumerate(tok_lists):
+            for j, tok in enumerate(toks):
+                hidden[i, j] = self._vec(tok)
+            mask[i, : len(toks)] = 1
+        return hidden, mask
+
+    # --- NER path ----------------------------------------------------------
+    def token_classify(self, texts: list[str]):
+        all_logits, all_offsets = [], []
+        for text in texts:
+            toks = tokenize_with_offsets(text)[: self.max_tokens]
+            logits = np.zeros((len(toks), len(_NER_LABELS)), dtype=np.float32)
+            prev_entity = False
+            for j, (word, _s, _e) in enumerate(toks):
+                low = word.lower()
+                if _CAP_RE.match(word):
+                    if low in _PER:
+                        tag = "PER"
+                    elif low in _ORG:
+                        tag = "ORG"
+                    elif low in _LOC:
+                        tag = "LOC"
+                    else:
+                        tag = "MISC"
+                    prefix = "I" if prev_entity else "B"
+                    logits[j, _NER_LABELS.index(f"{prefix}-{tag}")] = 6.0
+                    prev_entity = True
+                else:
+                    logits[j, 0] = 6.0
+                    prev_entity = False
+            all_logits.append(logits)
+            all_offsets.append(toks)
+        return all_logits, all_offsets, list(_NER_LABELS)
+
+    # --- classification path ------------------------------------------------
+    def classify(self, texts: list[str]):
+        logits = np.zeros((len(texts), 2), dtype=np.float32)
+        for i, text in enumerate(texts):
+            toks = {t.lower() for t, _, _ in tokenize_with_offsets(text)}
+            logits[i, 0] = 1.0 + 2.0 * len(toks & _NEGATIVE)
+            logits[i, 1] = 1.0 + 2.0 * len(toks & _POSITIVE)
+        return logits, ["NEGATIVE", "POSITIVE"]
+
+    def classify_pairs(self, texts: list[str], pairs: list[str]):
+        """NLI stand-in: entailment logit = Jaccard token overlap between
+        premise and hypothesis (scaled); contradiction = its complement."""
+        logits = np.zeros((len(texts), 3), dtype=np.float32)
+        for i, (premise, hyp) in enumerate(zip(texts, pairs)):
+            pt = {t.lower() for t, _, _ in tokenize_with_offsets(premise)} - _STOP
+            ht = {t.lower() for t, _, _ in tokenize_with_offsets(hyp)} - _STOP
+            overlap = len(pt & ht) / max(len(ht), 1)
+            logits[i, 0] = 4.0 * (1.0 - overlap)  # contradiction
+            logits[i, 1] = 0.0  # neutral
+            logits[i, 2] = 4.0 * overlap  # entailment
+        return logits, {"contradiction": 0, "neutral": 1, "entailment": 2}
+
+    # --- reranking path ------------------------------------------------------
+    def rerank(self, queries: list[str], docs: list[str]) -> np.ndarray:
+        out = np.zeros(len(queries), dtype=np.float32)
+        for i, (q, d) in enumerate(zip(queries, docs)):
+            qt = {t.lower() for t, _, _ in tokenize_with_offsets(q)} - _STOP
+            dt = {t.lower() for t, _, _ in tokenize_with_offsets(d)} - _STOP
+            overlap = len(qt & dt) / max(len(qt), 1)
+            out[i] = 8.0 * overlap - 4.0
+        return out

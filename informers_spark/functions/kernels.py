@@ -1,0 +1,120 @@
+"""Vectorized (numpy) kernels with reference-parity semantics.
+
+The reference implements these as scalar Ruby loops; we vectorize with
+numpy inside Arrow-batched UDFs — the headline win of the Spark design
+(the reference explicitly notes it cannot vectorize,
+reference: lib/informers/utils/generation.rb:173-174).
+
+Parity notes cite the reference file:line whose semantics each kernel
+replicates. Used inside mapInPandas inference UDFs; never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Max-subtracted exp-normalize (reference: lib/informers/utils/math.rb:73-87)."""
+    x = np.asarray(x, dtype=np.float64)
+    m = np.max(x, axis=axis, keepdims=True)
+    e = np.exp(x - m)
+    return e / np.sum(e, axis=axis, keepdims=True)
+
+
+def sigmoid(x: np.ndarray) -> np.ndarray:
+    """Elementwise logistic (reference: lib/informers/utils/math.rb:89-94)."""
+    return 1.0 / (1.0 + np.exp(-np.asarray(x, dtype=np.float64)))
+
+
+def get_top_items(scores: np.ndarray, top_k: int = 0) -> list[tuple[int, float]]:
+    """Argsort desc, take k, return (index, score) pairs; k<=0 → all
+    (reference: lib/informers/utils/math.rb:96-108)."""
+    scores = np.asarray(scores)
+    order = np.argsort(-scores, kind="stable")
+    if top_k and top_k > 0:
+        order = order[:top_k]
+    return [(int(i), float(scores[i])) for i in order]
+
+
+def mean_pooling(last_hidden: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
+    """Mask-weighted mean over the sequence dim.
+
+    Parity-critical: the denominator is the raw integer token count
+    (sum of the mask), NOT clamped — matches
+    reference: lib/informers/utils/tensor.rb:3-17.
+
+    last_hidden: [batch, seq, hidden] float32
+    attention_mask: [batch, seq] int
+    returns [batch, hidden] float32
+    """
+    mask = np.asarray(attention_mask, dtype=np.float32)[:, :, None]
+    h = np.asarray(last_hidden, dtype=np.float32)
+    summed = (h * mask).sum(axis=1)
+    counts = mask.sum(axis=1)
+    return summed / counts
+
+
+def normalize(v: np.ndarray, axis: int = -1) -> np.ndarray:
+    """L2 row-normalize v / sqrt(sum v^2)
+    (reference: lib/informers/utils/tensor.rb:19-24)."""
+    v = np.asarray(v, dtype=np.float32)
+    n = np.sqrt((v * v).sum(axis=axis, keepdims=True))
+    return v / n
+
+
+def _get_tag(entity_name: str) -> tuple[str, str]:
+    """Split 'B-PER' → ('B','PER'); non-prefixed tags default to I-continuation
+    (reference: lib/informers/pipelines.rb:176-190)."""
+    if entity_name.startswith("B-"):
+        return "B", entity_name[2:]
+    if entity_name.startswith("I-"):
+        return "I", entity_name[2:]
+    return "I", entity_name
+
+
+def group_entities(
+    entities: list[dict],
+    join_word=lambda words: " ".join(words),
+) -> list[dict]:
+    """BIO merge of token-level entities into grouped spans.
+
+    Sequential, order-dependent scan — must run within one document, never
+    as a distributed aggregate. Semantics replicated exactly from
+    reference: lib/informers/pipelines.rb:192-225 and :160-174:
+      - merge consecutive tokens when same tag AND current prefix != 'B'
+        (two adjacent B- of the same tag do NOT merge, pipelines.rb:209)
+      - group score = arithmetic mean of member scores (pipelines.rb:168)
+      - word = detokenized member words, span = first start / last end
+
+    entities: [{entity, score, word, start, end}, ...] token-level, in order.
+    join_word: detokenizer (reference uses convert_tokens_to_string).
+    """
+    groups: list[dict] = []
+    current: list[dict] = []
+    current_tag: str | None = None
+
+    def flush():
+        if not current:
+            return
+        scores = [e["score"] for e in current]
+        groups.append(
+            {
+                "entity_group": current_tag,
+                "score": float(sum(scores) / len(scores)),
+                "word": join_word([e["word"] for e in current]),
+                "start": current[0]["start"],
+                "end": current[-1]["end"],
+            }
+        )
+
+    for ent in entities:
+        prefix, tag = _get_tag(ent["entity"])
+        if current and tag == current_tag and prefix != "B":
+            current.append(ent)
+        else:
+            flush()
+            current = [ent]
+            current_tag = tag
+    flush()
+    return groups

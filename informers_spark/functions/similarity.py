@@ -1,0 +1,134 @@
+"""Similarity / dedup column expressions: shingles, MinHash, SimHash,
+cosine. All JVM-side built-ins; arithmetic is SQL-portable (DuckDB parity):
+MinHash permutations use h_i(x) = (a_i * fp(x) + b_i) % (2^31-1) where fp
+is the portable rolling hash — products stay < 2^63 so no overflow on
+either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from informers_spark.functions.text import FP_MOD, fingerprint, tokens
+
+# deterministic MinHash permutation coefficients (seeded affine hashes);
+# generated once from a fixed LCG so Spark and the SQL oracle share literals
+def _lcg(seed: int, n: int) -> list[int]:
+    out, x = [], seed
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (2**63)
+        out.append(x % (FP_MOD - 1) + 1)
+    return out
+
+
+def minhash_coeffs(k: int, seed: int = 7) -> tuple[list[int], list[int]]:
+    return _lcg(seed, k), _lcg(seed + 1, k)
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """n-gram word shingles as strings; texts shorter than n tokens produce
+    one shingle of all tokens."""
+    toks = tokens(col)
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def shingle_fingerprints(col: Column, n: int = 3) -> Column:
+    """Distinct portable fingerprints of the n-gram shingles."""
+    return F.array_distinct(
+        F.transform(word_shingles(col, n), lambda s: _fp_str(s))
+    )
+
+
+def _fp_str(s: Column) -> Column:
+    chars = F.split(s, "")
+    return F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(FP_MOD),
+    )
+
+
+def minhash_signature(fps: Column, k: int = 16, seed: int = 7) -> Column:
+    """MinHash signature (array<long> of k mins) over an array of shingle
+    fingerprints. Empty input → array of FP_MOD sentinels."""
+    a, b = minhash_coeffs(k, seed)
+
+    def perm(ai: int, bi: int):
+        return lambda x: (F.lit(ai) * x + F.lit(bi)) % F.lit(FP_MOD)
+
+    mins = [
+        F.coalesce(
+            F.array_min(F.transform(fps, perm(a[i], b[i]))),
+            F.lit(FP_MOD),
+        )
+        for i in range(k)
+    ]
+    return F.array(*mins)
+
+
+def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, key:string>> — LSH band keys for bucket joins."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias("key"),
+        )
+        for b in range(bands)
+    ])
+
+
+def simhash(col: Column, bits: int = 31) -> Column:
+    """SimHash over whitespace tokens: bit b set iff the sum over tokens of
+    (+1 if bit b of fp(token) else -1) is positive. 31 bits (portable)."""
+    fps = F.transform(tokens(col), lambda t: _fp_str(t))
+
+    def vote(b: int):
+        return lambda acc, x: acc + F.when(F.shiftright(x, b) % 2 == 1, 1).otherwise(-1)
+
+    bit_vals = [
+        F.when(
+            F.aggregate(fps, F.lit(0).cast("long"), vote(b)) > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for b, v in enumerate(bit_vals):
+        out = out + v * F.lit(2**b).cast("long")
+    return out
+
+
+def hamming_distance(a: Column, b: Column, bits: int = 31) -> Column:
+    x = a.bitwiseXOR(b)
+    return sum(
+        (F.shiftright(x, i) % 2).cast("int") for i in range(bits)
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (SQL-portable: same order as
+    a left fold in DuckDB list_reduce / Spark aggregate)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard over two pre-deduplicated arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    un = F.size(F.array_union(a, b))
+    return F.when(un > 0, inter.cast("double") / un.cast("double")).otherwise(F.lit(0.0))

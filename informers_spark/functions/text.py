@@ -1,0 +1,87 @@
+"""Text-analysis column expressions (JVM-side, codegen'd — no Python).
+
+All functions return pyspark Column expressions built from built-ins, so
+Catalyst keeps them inside WholeStageCodegen. The arithmetic is chosen to
+be exactly reproducible in ANSI SQL (DuckDB oracle parity):
+
+- fingerprints use a 31-base polynomial rolling hash mod (2^31 - 1) — no
+  64-bit overflow on either engine, sequential fold on both.
+- token splitting uses the regex '\\s+' on trimmed text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+FP_MOD = 2_147_483_647  # 2^31 - 1
+
+STOPWORDS = [
+    "the", "a", "an", "is", "are", "was", "of", "to", "in", "and", "or",
+    "by", "for", "with", "on", "at", "it", "this", "that", "be", "as",
+]
+
+# tiny per-language stopword lists for the n-gram/lexicon language-ID heuristic
+LANG_LEXICON = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def fingerprint(col: Column) -> Column:
+    """Rolling polynomial hash of the raw string: fold chars with
+    h = (h*31 + ascii(c)) % (2^31-1). Deterministic, SQL-portable."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(FP_MOD),
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document-quality score in [0,1]:
+    mean of (length score, alpha ratio, stopword presence ratio)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    length_score = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
+    alpha_chars = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(F.length(col) > 0,
+                         alpha_chars.cast("double") / F.length(col).cast("double")
+                         ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    stop_ratio = F.when(n > 0, stop_hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return (length_score + alpha_ratio + F.least(stop_ratio * 4.0, F.lit(1.0))) / 3.0
+
+
+def lang_id(col: Column) -> Column:
+    """Lexicon-hit language ID: argmax over per-language stopword hit counts,
+    ties broken by language code order; no hits → 'und'."""
+    toks = tokens(F.lower(col))
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # evaluate in reverse order so earlier languages win ties via strict '>'
+    exprs = []
+    for code, words in LANG_LEXICON.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        exprs.append((code, hits))
+    # build argmax with left-to-right priority on ties
+    result = F.lit("und")
+    best = F.lit(0)
+    for code, hits in exprs:
+        result = F.when(hits > best, F.lit(code)).otherwise(result)
+        best = F.when(hits > best, hits).otherwise(best)
+    return result

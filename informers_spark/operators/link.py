@@ -1,0 +1,112 @@
+"""Entity linking: two-stage blocked join (north-rule contract).
+
+Stage 1 (blocking / candidate generation): character-shingle MinHash
+signatures on the distinct surface forms → LSH band buckets → self-join
+within buckets. This avoids the O(n²) cross join: at 10^12 scale only
+near-duplicate surfaces collide in a band.
+
+Stage 2 (scoring): cosine over sentence-embedding vectors of the surface
+forms (mean-pooled transformer outputs, reference pipeline semantics via
+informers_spark.pipelines.embed) ∧ threshold → same_as edges; per-surface
+best match kept with a window.
+
+Skew guard: band buckets larger than `max_bucket` are dropped (a band key
+shared by millions of surfaces generates a quadratic pair explosion —
+standard LSH practice; those pairs are re-findable with more bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from informers_spark.functions.similarity import (
+    cosine,
+    minhash_bands,
+    minhash_signature,
+)
+from informers_spark.pipelines.embed import embed
+
+
+def _char_shingle_fps(col, n: int = 3):
+    """Portable fingerprints of character n-grams of lower(col)."""
+    s = F.lower(col)
+    cnt = F.greatest(F.length(s) - (n - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), cnt), lambda i: F.substring(s, i, n))
+    fps = F.transform(
+        grams,
+        lambda g: F.aggregate(
+            F.split(g, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2_147_483_647),
+        ),
+    )
+    return F.array_distinct(fps)
+
+
+def candidate_pairs(
+    surfaces: DataFrame,
+    surface_col: str = "surface",
+    k: int = 16,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH candidate pairs (a, b) with a < b over distinct surface forms."""
+    rows = k // bands
+    sig = surfaces.select(
+        F.col(surface_col).alias("surface"),
+        minhash_signature(_char_shingle_fps(F.col(surface_col)), k=k).alias("sig"),
+    )
+    banded = sig.select(
+        "surface", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
+    ).select("surface", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    # skew guard: drop pathological buckets before the self-join
+    sizes = banded.groupBy("band", "key").agg(F.count("*").alias("n"))
+    banded = banded.join(
+        sizes.filter(F.col("n") <= max_bucket).select("band", "key"),
+        ["band", "key"],
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.surface") < F.col("b.surface"))
+        .select(F.col("a.surface").alias("sa"), F.col("b.surface").alias("sb"))
+        .distinct()
+    )
+    return pairs
+
+
+def link_entities(
+    surfaces: DataFrame,
+    surface_col: str = "surface",
+    threshold: float = 0.8,
+    backend: str = "auto",
+    k: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """same_as edges (src, dst, score) between surface forms.
+
+    surfaces: DataFrame with one distinct surface form per row.
+    """
+    distinct = surfaces.select(F.col(surface_col).alias("surface")).distinct()
+    pairs = candidate_pairs(distinct, "surface", k=k, bands=bands)
+
+    # embed each distinct surface once, then join vectors onto the pairs
+    vecs = embed(distinct.withColumnRenamed("surface", "text"), text_col="text",
+                 backend=backend).select(
+        F.col("text").alias("surface"), F.col("embedding")
+    )
+    va = vecs.select(F.col("surface").alias("sa"), F.col("embedding").alias("ea"))
+    vb = vecs.select(F.col("surface").alias("sb"), F.col("embedding").alias("eb"))
+    scored = (
+        pairs.join(va, "sa").join(vb, "sb")
+        .withColumn("score", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("score") >= threshold)
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"), "score")
+    )
+    # keep each surface's best match (stage-2 top-1, SURVEY.md §7.1.5)
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter("rk = 1").drop("rk")

@@ -1,0 +1,130 @@
+"""Text-classification and zero-shot pipelines as DataFrame transforms.
+
+text-classification (lib/informers/pipelines.rb:46-86): tokenize →
+forward → per-row softmax (sigmoid for multi_label) → top-k labels.
+
+zero-shot-classification (lib/informers/pipelines.rb:420-497): NLI trick —
+score each (text, filled hypothesis template) pair, then either
+  multi_label (or 1 label): per-pair softmax of [contradiction, entailment]
+  else: softmax of entailment logits ACROSS the label set for each text.
+Spark design: broadcast crossJoin text × labels → pair-scoring UDF →
+the cross-label softmax runs JVM-side as window expressions
+(exp(x - max) / sum), so only the model forward is in Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from informers_spark.functions.kernels import sigmoid, softmax
+
+
+def classify(
+    df: DataFrame,
+    text_col: str = "text",
+    multi_label: bool = False,
+    backend: str = "auto",
+    backend_opts: dict | None = None,
+) -> DataFrame:
+    """Append (label, score) of the top class per row."""
+    opts = backend_opts or {}
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("label", T.StringType()), T.StructField("score", T.FloatType())]
+    )
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from informers_spark.backend.base import get_backend
+
+        be = get_backend(backend, **opts)
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf["label"] = pd.Series([], dtype=str)
+                pdf["score"] = pd.Series([], dtype="float32")
+                yield pdf
+                continue
+            texts = pdf[text_col].fillna("").astype(str).tolist()
+            logits, id2label = be.classify(texts)
+            # sigmoid when problem_type == multi_label (pipelines.rb:57-62)
+            probs = sigmoid(logits) if multi_label else softmax(logits, axis=-1)
+            top = probs.argmax(axis=-1)
+            pdf = pdf.copy()
+            pdf["label"] = [id2label[int(i)] for i in top]
+            pdf["score"] = probs[range(len(top)), top].astype("float32")
+            yield pdf
+
+    return df.mapInPandas(infer, schema=schema)
+
+
+def zero_shot(
+    df: DataFrame,
+    labels: list[str],
+    text_col: str = "text",
+    hypothesis_template: str = "This example is {}.",
+    multi_label: bool = False,
+    backend: str = "auto",
+    backend_opts: dict | None = None,
+) -> DataFrame:
+    """One output row per (text row, candidate label) with its score.
+
+    Callers rank with a window / groupBy — keeping the result relational
+    (exploded) instead of the reference's in-memory {labels[], scores[]}.
+    """
+    opts = backend_opts or {}
+    spark = df.sparkSession
+    labels_df = spark.createDataFrame([(l,) for l in labels], ["candidate_label"])
+    pairs = df.crossJoin(F.broadcast(labels_df))
+
+    schema = T.StructType(
+        list(pairs.schema.fields)
+        + [
+            T.StructField("entailment_logit", T.DoubleType()),
+            T.StructField("pair_score", T.DoubleType()),
+        ]
+    )
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from informers_spark.backend.base import get_backend
+
+        be = get_backend(backend, **opts)
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf["entailment_logit"] = pd.Series([], dtype=float)
+                pdf["pair_score"] = pd.Series([], dtype=float)
+                yield pdf
+                continue
+            texts = pdf[text_col].fillna("").astype(str).tolist()
+            hyps = [
+                hypothesis_template.replace("{}", l)
+                for l in pdf["candidate_label"].tolist()
+            ]
+            logits, label2id = be.classify_pairs(texts, hyps)
+            ent, con = label2id["entailment"], label2id["contradiction"]
+            pdf = pdf.copy()
+            pdf["entailment_logit"] = logits[:, ent].astype(float)
+            # per-pair softmax over [contradiction, entailment]
+            # (pipelines.rb:444-451) — used in multi_label mode
+            two = softmax(logits[:, [con, ent]], axis=-1)
+            pdf["pair_score"] = two[:, 1].astype(float)
+            yield pdf
+
+    scored = pairs.mapInPandas(infer, schema=schema)
+
+    if multi_label or len(labels) == 1:
+        return scored.withColumn("score", F.col("pair_score")).drop(
+            "entailment_logit", "pair_score"
+        )
+    # softmax of entailment logits across labels per text (pipelines.rb:452-456)
+    key_cols = [f.name for f in df.schema.fields]
+    w = Window.partitionBy(*key_cols)
+    mx = F.max("entailment_logit").over(w)
+    e = F.exp(F.col("entailment_logit") - mx)
+    return (
+        scored.withColumn("score", e / F.sum(e).over(w))
+        .drop("entailment_logit", "pair_score")
+    )

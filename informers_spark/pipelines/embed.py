@@ -1,0 +1,63 @@
+"""Embedding / feature-extraction pipeline as a DataFrame transform.
+
+Reference dataflow (lib/informers/pipelines.rb:821-882, embedding defaults
+pooling:"mean", normalize:true at :1042-1051):
+    tokenize → forward → mean_pool (utils/tensor.rb:3-17) → L2 normalize
+    (utils/tensor.rb:19-24)
+
+Spark design: one mapInPandas over Arrow batches — the Arrow batch IS the
+inference batch (amortizes the model call exactly like the reference's
+padded-batch forward). Everything else stays JVM-side. At 100 TB the scan
+partitions bound memory via spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from informers_spark.functions.kernels import mean_pooling, normalize
+
+
+def embed(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    pooling: str = "mean",
+    do_normalize: bool = True,
+    backend: str = "auto",
+    backend_opts: dict | None = None,
+) -> DataFrame:
+    """Append an array<float> embedding column. All input columns pass through."""
+    opts = backend_opts or {}
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from informers_spark.backend.base import get_backend
+
+        be = get_backend(backend, **opts)
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = pd.Series([], dtype=object)
+                yield pdf
+                continue
+            texts = pdf[text_col].fillna("").astype(str).tolist()
+            hidden, mask = be.encode(texts)
+            if pooling == "mean":
+                pooled = mean_pooling(hidden, mask)
+            elif pooling == "cls":
+                pooled = hidden[:, 0, :]  # first token (pipelines.rb:866)
+            else:
+                raise ValueError(f"unsupported pooling: {pooling}")
+            if do_normalize:
+                pooled = normalize(pooled)
+            pdf = pdf.copy()
+            pdf[out_col] = list(pooled)
+            yield pdf
+
+    return df.mapInPandas(infer, schema=schema)

@@ -1,0 +1,110 @@
+"""Token-classification (NER) pipeline as a DataFrame transform.
+
+Reference dataflow (lib/informers/pipelines.rb:88-158):
+    tokenize w/ offsets → forward → per-token argmax → drop ignore_labels
+    (default ["O"]) → drop empty words → softmax score of argmax →
+    BIO group_entities merge (pipelines.rb:192-225).
+
+The BIO merge is a sequential, order-dependent scan, so it stays INSIDE
+the UDF per document (never a distributed aggregate) — the grouped
+entities explode into one output row per mention. Output schema mirrors
+the grouped-entity record (pipelines.rb:166-172).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from informers_spark.functions.kernels import group_entities, softmax
+
+MENTION_FIELDS = [
+    T.StructField("entity_group", T.StringType()),
+    T.StructField("word", T.StringType()),
+    T.StructField("score", T.FloatType()),
+    T.StructField("start", T.IntegerType()),
+    T.StructField("end", T.IntegerType()),
+]
+
+
+def ner(
+    df: DataFrame,
+    text_col: str = "text",
+    ignore_labels: tuple[str, ...] = ("O",),
+    aggregation_strategy: str = "simple",
+    backend: str = "auto",
+    backend_opts: dict | None = None,
+) -> DataFrame:
+    """Explode each text into grouped entity mentions.
+
+    Output: all input columns + (entity_group, word, score, start, end);
+    texts with no mentions produce no rows (explode semantics).
+    """
+    opts = backend_opts or {}
+    schema = T.StructType(list(df.schema.fields) + MENTION_FIELDS)
+    in_cols = [f.name for f in df.schema.fields]
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from informers_spark.backend.base import get_backend
+
+        be = get_backend(backend, **opts)
+        for pdf in batches:
+            out_rows = []
+            if len(pdf):
+                texts = pdf[text_col].fillna("").astype(str).tolist()
+                logits_list, offsets_list, id2label = be.token_classify(texts)
+                for row_i in range(len(pdf)):
+                    logits = logits_list[row_i]
+                    offsets = offsets_list[row_i]
+                    if len(logits) == 0:
+                        continue
+                    probs = softmax(logits, axis=-1)
+                    arg = np.argmax(logits, axis=-1)
+                    ents = []
+                    for j, (word, s, e) in enumerate(offsets):
+                        label = id2label[int(arg[j])]
+                        # drop ignored labels (pipelines.rb:122-125) and
+                        # empty/special words (pipelines.rb:128-132)
+                        if label in ignore_labels or not word.strip():
+                            continue
+                        ents.append(
+                            {
+                                "entity": label,
+                                "score": float(probs[j, arg[j]]),
+                                "word": word,
+                                "start": int(s),
+                                "end": int(e),
+                            }
+                        )
+                    if aggregation_strategy == "simple":
+                        groups = group_entities(ents)
+                    else:  # "none": token-level records
+                        groups = [
+                            {
+                                "entity_group": e["entity"],
+                                "score": e["score"],
+                                "word": e["word"],
+                                "start": e["start"],
+                                "end": e["end"],
+                            }
+                            for e in ents
+                        ]
+                    base = pdf.iloc[row_i]
+                    for g in groups:
+                        rec = {c: base[c] for c in in_cols}
+                        rec.update(
+                            entity_group=g["entity_group"],
+                            word=g["word"],
+                            score=np.float32(g["score"]),
+                            start=np.int32(g["start"]),
+                            end=np.int32(g["end"]),
+                        )
+                        out_rows.append(rec)
+            cols = in_cols + ["entity_group", "word", "score", "start", "end"]
+            yield pd.DataFrame(out_rows, columns=cols)
+
+    return df.mapInPandas(infer, schema=schema)

@@ -1,0 +1,164 @@
+"""End-to-end KG construction plan (the flagship job; north-rule contract).
+
+Stages, each checkpointed to the warehouse with a lineage manifest so a
+re-run resumes without recompute (kill at any stage → rerun → identical
+output):
+
+  1. files        — input corpus + content_sha256 (per-row invariant)
+  2. mentions     — NER pipeline (entity_group/word/score/start/end)
+  3. embeddings   — embedding pipeline over content
+  4. triples_raw  — structural (defines/imports) ∪ mention triples
+  5. same_as      — two-stage entity linking over mention surfaces
+  6. components   — connected-components canonicalization
+  7. triples/nodes/edges — final partitioned graph materialization
+
+Scale design: the heavy stages (2,3) run on the scan partitioning (no
+shuffle); the only shuffles are the distincts/joins in 4-6, keyed by
+triple / surface / band — all high-cardinality uniform keys. Hot-repo
+skew is neutralized with an explicit salt on the repartition before
+inference so one giant repo cannot serialize a single task, plus AQE
+skew-join for the joins.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from informers_spark.operators.canon import connected_components
+from informers_spark.operators.extract import (
+    extract_mention_triples,
+    extract_structural_triples,
+    mentions_table,
+)
+from informers_spark.operators.link import link_entities
+from informers_spark.pipelines.embed import embed
+from informers_spark.sources.warehouse import Warehouse
+
+TRIPLE_COLS = ["subj", "pred", "obj", "score", "src_sha256"]
+
+
+def salt_partition(df: DataFrame, partitions: int, *keys: str) -> DataFrame:
+    """Repartition by (keys..., salt) — explicit skew-neutralizer: a hot
+    repo spreads over `partitions` tasks instead of one."""
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*keys, F.lit(17)), F.lit(64)))
+    out = salted.repartition(partitions, *keys, "_salt")
+    return out.drop("_salt")
+
+
+def build_kg(
+    spark: SparkSession,
+    files: DataFrame,
+    warehouse_root: str,
+    backend: str = "auto",
+    link_threshold: float = 0.75,
+    resume: bool = True,
+    partitions: int | None = None,
+) -> dict:
+    """Run (or resume) the full KG job. Returns stage metrics."""
+    wh = Warehouse(spark, warehouse_root)
+    metrics: dict[str, dict] = {}
+    partitions = partitions or spark.sparkContext.defaultParallelism * 2
+
+    def stage(name: str, make, partition_by=None):
+        t0 = time.time()
+        if resume and wh.is_complete(name):
+            metrics[name] = {**(wh.manifest(name) or {}), "resumed": True}
+            return wh.read(name)
+        df = make()
+        m = wh.write(df, name, partition_by=partition_by)
+        m["stage_wall_sec"] = round(time.time() - t0, 3)
+        metrics[name] = m
+        return wh.read(name)
+
+    # 1. files — carry content_sha256 from here through every stage
+    if "content_sha256" not in files.columns:
+        files = files.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    files_t = stage(
+        "files",
+        lambda: salt_partition(files, partitions, "repo", "path"),
+        partition_by=["lang"],
+    )
+
+    # 2. mentions (NER inference — runs on scan partitioning, no shuffle)
+    mentions = stage("mentions", lambda: mentions_table(files_t, backend=backend))
+
+    # 3. embeddings
+    embeddings = stage(
+        "embeddings",
+        lambda: embed(
+            files_t.select(
+                "repo", "path", "commit", "content_sha256",
+                F.col("content").alias("text"),
+            ),
+            text_col="text",
+            backend=backend,
+        ).drop("text"),
+    )
+
+    # 4. raw triples: structural ∪ mentions
+    def make_raw():
+        structural = extract_structural_triples(files_t)
+        mention_triples = (
+            mentions.filter(F.col("entity_group").isin("PER", "ORG", "LOC"))
+            .select(
+                F.col("repo").alias("subj"),
+                F.lit("mentions").alias("pred"),
+                F.col("word").alias("obj"),
+                F.col("score"),
+                F.col("content_sha256").alias("src_sha256"),
+            )
+        )
+        return structural.unionAll(mention_triples).dropDuplicates(["subj", "pred", "obj"])
+
+    triples_raw = stage("triples_raw", make_raw)
+
+    # 5. entity linking over distinct mention surfaces
+    def make_same_as():
+        surfaces = mentions.select(F.col("word").alias("surface")).distinct()
+        return link_entities(surfaces, threshold=link_threshold, backend=backend)
+
+    same_as = stage("same_as", make_same_as)
+
+    # 6. canonicalization
+    components = stage("components", lambda: connected_components(same_as))
+
+    # 7. materialize
+    def make_triples():
+        canon_triples = (
+            components.filter(F.col("node") != F.col("component"))
+            .select(
+                F.col("node").alias("subj"),
+                F.lit("same_as").alias("pred"),
+                F.col("component").alias("obj"),
+                F.lit(1.0).cast("float").alias("score"),
+                F.lit(None).cast("string").alias("src_sha256"),
+            )
+        )
+        return triples_raw.select(*TRIPLE_COLS).unionAll(canon_triples)
+
+    triples = stage("triples", make_triples, partition_by=["pred"])
+
+    stage(
+        "nodes",
+        lambda: (
+            triples.select(F.col("subj").alias("node_id"))
+            .unionAll(triples.select(F.col("obj").alias("node_id")))
+            .distinct()
+            .withColumn(
+                "kind",
+                F.when(F.col("node_id").contains("/"), "repo").otherwise("entity"),
+            )
+            .withColumn("label", F.col("node_id"))
+        ),
+    )
+    stage(
+        "edges",
+        lambda: triples.select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst"), "pred", "score"
+        ),
+        partition_by=["pred"],
+    )
+    return metrics

@@ -1,0 +1,2 @@
+from informers_spark.sources.corpus import generate_files, expected_triples  # noqa: F401
+from informers_spark.sources.warehouse import Warehouse  # noqa: F401

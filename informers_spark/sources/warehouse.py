@@ -1,0 +1,107 @@
+"""Warehouse: partitioned table IO with an Iceberg↔parquet switch.
+
+On a real cluster with iceberg-spark-runtime on the classpath, tables go
+through `writeTo(...).partitionedBy(...)` against the configured catalog.
+In this sandbox (no Iceberg jar) the same partition spec is laid out as
+parquet `partitionBy` directories — identical pruning behavior for the
+query patterns we use (partition filters on repo bucket / lang).
+
+Every write also drops a `_manifest.json` sidecar: stage name, row count,
+input sha range, wall time, schema — the per-partition lineage + metrics
+the north rule requires, and the `resumable()` check keys off it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str, catalog: str | None = None):
+        self.spark = spark
+        self.root = root
+        self.use_iceberg = catalog is not None and _iceberg_available(spark)
+        self.catalog = catalog
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> dict:
+        t0 = time.time()
+        if self.use_iceberg:
+            writer = df.writeTo(f"{self.catalog}.{name}").using("iceberg")
+            if partition_by:
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.createOrReplace()
+        else:
+            w = df.write.mode(mode)
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self._path(name))
+        # persist the schema so empty tables (no part files) stay readable
+        with open(self._path(f"{name}._schema.json"), "w") as fh:
+            fh.write(df.schema.json())
+        out = self.read(name)
+        n = out.count()
+        sha_range = None
+        if "content_sha256" in out.columns:
+            r = out.agg(
+                F.min("content_sha256").alias("lo"), F.max("content_sha256").alias("hi")
+            ).first()
+            sha_range = [r["lo"], r["hi"]]
+        manifest = {
+            "table": name,
+            "rows": n,
+            "partition_by": partition_by or [],
+            "schema": out.schema.simpleString(),
+            "sha256_range": sha_range,
+            "wall_sec": round(time.time() - t0, 3),
+            "written_at": time.time(),
+        }
+        with open(self._path(f"{name}._manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        return manifest
+
+    def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(f"{self.catalog}.{name}")
+        schema_path = self._path(f"{name}._schema.json")
+        if os.path.exists(schema_path):
+            from pyspark.sql.types import StructType
+
+            with open(schema_path) as fh:
+                schema = StructType.fromJson(json.loads(fh.read()))
+            return self.spark.read.schema(schema).parquet(self._path(name))
+        return self.spark.read.parquet(self._path(name))
+
+    def manifest(self, name: str) -> dict | None:
+        p = self._path(f"{name}._manifest.json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return None
+
+    def is_complete(self, name: str) -> bool:
+        """A stage can be skipped on resume iff its manifest exists (the
+        manifest is written only after a successful write)."""
+        return self.manifest(name) is not None
