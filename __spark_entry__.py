@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship KG-style query over the sf0.001 driver tables:
+               keyword-mention triples ∪ same_as triples from connected
+               components over LSH-bucketed embeddings.
+queries()    — one callable per implemented operator (SURVEY.md §2 +
+               training-data ops); implemented in informers_spark.queries.
+oracle_sql() — DuckDB-equivalent SQL per query (same constants inlined);
+               q_embed_docs / q_ner_docs are deterministic-backend
+               inference and intentionally omitted (rows-only checks).
 """
 
 from __future__ import annotations
@@ -12,27 +15,32 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from informers_spark.queries import q_cc_components, q_kw_mentions
+
+    sf_dir = "/root/testdata/sf0.001"
+    mentions = q_kw_mentions(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("subj"), F.col("pred"), F.col("obj")
+    )
+    same_as = q_cc_components(spark, sf_dir).select(
+        F.col("node").cast("string").alias("subj"),
+        F.lit("same_as").alias("pred"),
+        F.col("component").cast("string").alias("obj"),
+    )
+    return mentions.unionAll(same_as)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from informers_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from informers_spark.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

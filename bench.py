@@ -1,0 +1,99 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship KG
+job (generate corpus → build_kg → triples/sec, the BASELINE.md metric),
+and prints ONE JSON line.
+
+Extra env knobs:
+  SPARK_GRAFT_KG_N       corpus size for the KG throughput run (default 20000)
+  SPARK_GRAFT_SKIP_KG=1  headline queries only
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_revenue_by_nation",
+    "q_window_top_orders",
+    "q_events_sessionize",
+    "q_token_count",
+    "q_exact_dedup",
+    "q_quality_score",
+    "q_minhash_pairs",
+    "q_simhash",
+    "q_knn_bruteforce",
+    "q_lsh_buckets",
+    "q_centroids",
+    "q_cc_components",
+    "q_embed_docs",
+    "q_classify_docs",
+    "q_zero_shot_docs",
+    "q_ner_docs",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    kg_n = int(os.environ.get("SPARK_GRAFT_KG_N", "20000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from informers_spark.queries import QUERIES
+    from informers_spark.session import get_spark
+
+    spark = get_spark(app_name="informers_spark_bench", cores=cores)
+    spark.range(1).count()  # JVM warmup outside the measurements
+
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {queries[name]}s ({n} rows)", file=sys.stderr)
+
+    result = {
+        "metric": "total_headline_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cores": cores,
+    }
+
+    if not os.environ.get("SPARK_GRAFT_SKIP_KG"):
+        from informers_spark.plans.kg import build_kg
+        from informers_spark.sources.corpus import generate_files
+
+        out = tempfile.mkdtemp(prefix="kg_bench_")
+        try:
+            t0 = time.time()
+            build_kg(spark, generate_files(spark, n=kg_n), out, backend="hash", resume=False)
+            wall = time.time() - t0
+            triples = spark.read.parquet(f"{out}/triples").count()
+            result["kg"] = {
+                "n_files": kg_n,
+                "triples": triples,
+                "wall_sec": round(wall, 3),
+                "triples_per_sec": round(triples / wall, 2),
+            }
+            print(f"  kg_build: {wall:.1f}s, {triples} triples", file=sys.stderr)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,7 @@ def shingle_fingerprints(col: Column, n: int = 3) -> Column:
 
 
 def _fp_str(s: Column) -> Column:
-    chars = F.split(s, "")
+    chars = F.filter(F.split(s, ""), lambda c: c != "")
     return F.aggregate(
         chars, F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(FP_MOD),

@@ -41,8 +41,9 @@ def token_count(col: Column) -> Column:
 
 def fingerprint(col: Column) -> Column:
     """Rolling polynomial hash of the raw string: fold chars with
-    h = (h*31 + ascii(c)) % (2^31-1). Deterministic, SQL-portable."""
-    chars = F.split(col, "")
+    h = (h*31 + ascii(c)) % (2^31-1). Deterministic, SQL-portable.
+    Empty split artifacts are filtered on both engines."""
+    chars = F.filter(F.split(col, ""), lambda c: c != "")
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),
@@ -70,18 +71,12 @@ def lang_id(col: Column) -> Column:
     """Lexicon-hit language ID: argmax over per-language stopword hit counts,
     ties broken by language code order; no hits → 'und'."""
     toks = tokens(F.lower(col))
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    # evaluate in reverse order so earlier languages win ties via strict '>'
-    exprs = []
+    # argmax with left-to-right priority on ties (strict '>' replacement)
+    result = F.lit("und")
+    best = F.lit(0)
     for code, words in LANG_LEXICON.items():
         arr = F.array(*[F.lit(w) for w in words])
         hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-        exprs.append((code, hits))
-    # build argmax with left-to-right priority on ties
-    result = F.lit("und")
-    best = F.lit(0)
-    for code, hits in exprs:
         result = F.when(hits > best, F.lit(code)).otherwise(result)
         best = F.when(hits > best, hits).otherwise(best)
     return result

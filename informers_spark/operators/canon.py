@@ -36,22 +36,38 @@ def connected_components(
     )
 
     for _ in range(max_iter):
+        # 1) hook: take the min label over neighbors
         prop = (
             sym.join(labels, sym.u == labels.node)
             .select(F.col("v").alias("node"), F.col("component"))
             .groupBy("node")
             .agg(F.min("component").alias("nbr_min"))
         )
+        hooked = labels.join(prop, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+            F.col("component").alias("old"),
+        )
+        # 2) pointer-jump: component := label(component). Labels only
+        #    shrink and every label is a node id, so this is total; it
+        #    turns O(diameter) convergence into O(log n) — a 10^6-long
+        #    chain resolves in ~20 iterations instead of 10^6.
+        parent = labels.select(
+            F.col("node").alias("component"), F.col("component").alias("jump")
+        )
         new_labels = (
-            labels.join(prop, "node", "left")
+            hooked.join(parent, "component", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("jump"), F.col("component"))
                 ).alias("component"),
-                F.col("component").alias("old"),
+                "old",
             )
-        ).localCheckpoint()
+            .localCheckpoint()
+        )
         changed = new_labels.filter(F.col("component") != F.col("old")).limit(1).count()
         labels = new_labels.drop("old")
         if changed == 0:

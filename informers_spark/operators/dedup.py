@@ -1,0 +1,132 @@
+"""Deduplication operators over a document corpus — the training-data
+pipeline staples: exact, MinHash/LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup. All built from JVM-side expressions
+(informers_spark.functions.similarity); the only shuffles are the
+groupBys/joins keyed by content hash or band key (high-cardinality,
+uniform — safe at 100 TB with the bucket-size skew guard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from informers_spark.functions.similarity import (
+    cosine,
+    jaccard,
+    minhash_bands,
+    minhash_signature,
+    shingle_fingerprints,
+    simhash,
+)
+from informers_spark.functions.text import fingerprint
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical texts by full-content hash; keep the min id.
+    → (keeper, n_dups) one row per distinct text with duplicates counted.
+    Shuffle key = sha2(text): uniform, no skew. At scale, group on the
+    hash only (never the raw text) so shuffle rows stay small."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_dups"))
+        .select("keeper", "n_dups")
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    max_bucket: int = 200,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by MinHash banding, verified with
+    exact shingle-set Jaccard ≥ threshold. → (a, b, jac) with a < b.
+
+    Plan shape: one scan computes signature+shingles, explode to (band,
+    key), bucket self-join (equi-join — NOT a cross join), exact-Jaccard
+    verify on the joined shingle sets. The max_bucket guard caps any
+    band bucket before the self-join (quadratic blowup protection)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingle_fingerprints(F.col(text_col), shingle_n).alias("fps"),
+    ).withColumn("sig", minhash_signature(F.col("fps"), k=k))
+    banded = base.select(
+        "id", "fps", F.explode(minhash_bands(F.col("sig"), bands, k // bands)).alias("bk")
+    ).select("id", "fps", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    sizes = banded.groupBy("band", "key").agg(F.count("*").alias("n"))
+    banded = banded.join(
+        sizes.filter(F.col("n") <= max_bucket).select("band", "key"), ["band", "key"]
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.col("a.fps").alias("fa"),
+            F.col("b.fps").alias("fb"),
+        )
+        .dropDuplicates(["a", "b"])
+        .withColumn("jac", jaccard(F.col("fa"), F.col("fb")))
+        .filter(F.col("jac") >= threshold)
+        .select("a", "b", F.round("jac", 6).alias("jac"))
+    )
+    return pairs
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 31
+) -> DataFrame:
+    """→ (id, simhash) 31-bit portable SimHash per document."""
+    return df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("simhash")
+    )
+
+
+def fingerprint_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (id, fp) rolling-hash document fingerprint (portable arithmetic)."""
+    return df.select(
+        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+
+
+def embedding_neardup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by hyperplane-sign
+    LSH buckets (only same-bucket pairs scored). → (a, b, cos_sim)."""
+    from informers_spark.operators.ann import hyperplane_bucket
+
+    with_bucket = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    a, b = with_bucket.alias("a"), with_bucket.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("cos_sim", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,777 @@
+"""Query registry: every implemented operator as a (spark, sf_dir) →
+DataFrame callable, each paired (where SQL-expressible) with a DuckDB
+oracle in ORACLE_SQL built from the SAME constants — MinHash coefficients,
+lexicons, LSH plane weights — so value hashes match exactly.
+
+Parity ground rules (see functions/text.py, functions/similarity.py):
+- integer/decimal arithmetic wherever sums must match bit-for-bit
+  (decimal-cast sums → double; rolling hashes mod 2^31-1)
+- sequential left-fold for float dot products on both engines
+- round(x, 4..6) on any float output column
+- explicit deterministic tie-breaks on every rank/top-k
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from informers_spark.functions import text as TX
+from informers_spark.functions.similarity import minhash_coeffs
+from informers_spark.functions.text import FP_MOD, LANG_LEXICON, STOPWORDS
+from informers_spark.operators import ann, dedup
+from informers_spark.operators.canon import connected_components
+from informers_spark.pipelines.classify import classify, zero_shot
+from informers_spark.pipelines.embed import embed
+from informers_spark.pipelines.ner import ner
+from informers_spark.pipelines.rerank import rerank
+
+KEYWORDS = ["spark", "hash", "join", "merge", "stream", "window", "scan", "sort", "batch", "table"]
+ZS_LABELS = ["storage", "query", "streaming"]
+RERANK_QUERY = "fast hash join table"
+POSITIVE = sorted(["love", "great", "good", "fast", "excellent", "best", "like", "happy"])
+NEGATIVE = sorted(["hate", "bad", "slow", "terrible", "worst", "broken", "sad", "bug"])
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational operators (TPC-H-style; exact decimal arithmetic for parity)
+# ---------------------------------------------------------------------------
+
+def _dec(col, p=18, s=2):
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 5, 2))
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + _dec("l_tax", 5, 2))
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty,
+       (SUM(CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS sum_base_price,
+       (SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))))::DOUBLE AS sum_disc_price,
+       (SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(5,2)))))::DOUBLE AS sum_charge,
+       (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE / COUNT(*) AS avg_qty,
+       (SUM(CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 5, 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       (SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))))::DOUBLE AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_revenue_by_nation(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 5, 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       (SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))))::DOUBLE AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q_rollup_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def q_window_top_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+Q_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def q_anti_join_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey")
+
+
+Q_ANTI_SQL = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_semi_join_parts(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_brand")
+
+
+Q_SEMI_SQL = """
+SELECT p_partkey, p_brand FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+Q_SESSION_SQL = """
+SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+FROM (SELECT user_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800 * 1000000
+                  OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_events_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+       SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))::DOUBLE / COUNT(*) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_top_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.orderBy(F.desc("value"), F.asc("event_id")).select("event_id", "user_id", "value").limit(10)
+
+
+Q_TOP_EVENTS_SQL = """
+SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# text-analysis operators over documents
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKENS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+_DUCK_FP = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(list_filter(string_split({S}, ''), c -> c != ''), c -> ascii(c)::BIGINT)), "
+    f"(acc, c) -> (acc * 31 + c) % {FP_MOD})"
+)
+
+
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens")).orderBy("doc_id")
+
+
+Q_TOKEN_COUNT_SQL = f"""
+SELECT doc_id, len({_DUCK_TOKENS}) AS n_tokens FROM documents ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.fingerprint_table(docs).orderBy("id")
+
+
+Q_FINGERPRINT_SQL = f"""
+SELECT doc_id AS id, {_DUCK_FP.format(S="text")} AS fp FROM documents ORDER BY doc_id
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).orderBy("keeper")
+
+
+Q_EXACT_DEDUP_SQL = """
+SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_dups FROM documents GROUP BY text ORDER BY keeper
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("quality")
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+Q_QUALITY_SQL = f"""
+SELECT doc_id,
+       ROUND((
+         LEAST(len({_DUCK_TOKENS})::DOUBLE / 50.0, 1.0)
+         + CASE WHEN length(text) > 0
+                THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)::DOUBLE
+                ELSE 0.0 END
+         + LEAST(CASE WHEN len({_DUCK_TOKENS}) > 0
+                 THEN len(list_filter({_DUCK_TOKENS}, t -> list_contains({_STOP_SQL}, lower(t))))::DOUBLE
+                      / len({_DUCK_TOKENS})::DOUBLE * 4.0
+                 ELSE 0.0 END, 1.0)
+       ) / 3.0, 6) AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang")).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    toks = "list_transform(" + _DUCK_TOKENS + ", t -> lower(t))"
+    hit_exprs = {
+        code: f"len(list_filter({toks}, t -> list_contains([{', '.join(repr(w) for w in words)}], t)))"
+        for code, words in LANG_LEXICON.items()
+    }
+    codes = list(LANG_LEXICON)
+    m = "GREATEST(" + ", ".join(f"h_{c}" for c in codes) + ")"
+    case = " ".join(f"WHEN h_{c} = {m} AND {m} > 0 THEN '{c}'" for c in codes)
+    hits = ", ".join(f"{e} AS h_{c}" for c, e in hit_exprs.items())
+    return f"""
+SELECT doc_id, CASE {case} ELSE 'und' END AS pred_lang
+FROM (SELECT doc_id, {hits} FROM documents) ORDER BY doc_id
+"""
+
+
+def q_kw_mentions(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    kw = F.array(*[F.lit(k) for k in KEYWORDS])
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.filter(TX.tokens(F.col("text")), lambda t: F.array_contains(kw, F.lower(t))))).alias("obj"),
+        )
+        .select("doc_id", F.lit("mentions").alias("pred"), "obj")
+        .orderBy("doc_id", "obj")
+    )
+
+
+Q_KW_MENTIONS_SQL = f"""
+SELECT doc_id, 'mentions' AS pred, obj
+FROM (SELECT DISTINCT doc_id, unnest({_DUCK_TOKENS}) AS obj FROM documents)
+WHERE list_contains([{", ".join(repr(k) for k in KEYWORDS)}], lower(obj))
+ORDER BY doc_id, obj
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity operators
+# ---------------------------------------------------------------------------
+
+def _minhash_with_clause() -> str:
+    """Shared DuckDB CTE computing shingle fps, signatures, band keys —
+    generated from the SAME coefficients as the Spark implementation."""
+    a, b = minhash_coeffs(16)
+    shingle = (
+        f"list_distinct(list_transform(generate_series(1, GREATEST(len(t) - 2, 1)), "
+        f"i -> {_DUCK_FP.format(S='array_to_string(list_slice(t, i, i + 2), chr(32))')}))"
+    )
+    mins = ", ".join(
+        f"COALESCE(list_min(list_transform(fps, x -> ({a[i]} * x + {b[i]}) % {FP_MOD})), {FP_MOD}) AS mh{i}"
+        for i in range(16)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT id, fps, {bi} AS band, concat(mh{2*bi}, '_', mh{2*bi+1}) AS key FROM sigs"
+        for bi in range(8)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id AS id, {_DUCK_TOKENS} AS t FROM documents),
+fpset AS (SELECT id, {shingle} AS fps FROM (SELECT id, t FROM toks)),
+sigs AS (SELECT id, fps, {mins} FROM fpset),
+banded_all AS ({bands}),
+bsizes AS (SELECT band, key, COUNT(*) AS n FROM banded_all GROUP BY band, key),
+banded AS (SELECT banded_all.* FROM banded_all JOIN bsizes USING (band, key) WHERE bsizes.n <= 200),
+mh_pairs AS (
+  SELECT DISTINCT a.id AS a, b.id AS b, a.fps AS fa, b.fps AS fb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_pairs(docs, threshold=0.2).orderBy("a", "b")
+
+
+Q_MINHASH_SQL = _minhash_with_clause() + """
+SELECT a, b, ROUND(CASE WHEN len(list_distinct(list_concat(fa, fb))) > 0
+            THEN len(list_intersect(fa, fb))::DOUBLE / len(list_distinct(list_concat(fa, fb)))::DOUBLE
+            ELSE 0.0 END, 6) AS jac
+FROM mh_pairs
+WHERE CASE WHEN len(list_distinct(list_concat(fa, fb))) > 0
+      THEN len(list_intersect(fa, fb))::DOUBLE / len(list_distinct(list_concat(fa, fb)))::DOUBLE
+      ELSE 0.0 END >= 0.2
+ORDER BY a, b
+"""
+
+
+def q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_table(docs).orderBy("id")
+
+
+def _simhash_sql() -> str:
+    tok_fps = f"list_transform({_DUCK_TOKENS}, s -> {_DUCK_FP.format(S='s')})"
+    bits = " + ".join(
+        f"CASE WHEN list_sum(list_transform(fps, x -> CASE WHEN ((x >> {b}) % 2) = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {2**b}::BIGINT ELSE 0::BIGINT END"
+        for b in range(31)
+    )
+    return f"""
+SELECT id, ({bits}) AS simhash
+FROM (SELECT doc_id AS id, {tok_fps} AS fps FROM documents)
+ORDER BY id
+"""
+
+
+def q_jaccard_sample(spark, sf_dir):
+    """Brute-force exact 3-gram Jaccard over a small id range (the
+    correctness baseline for the LSH path)."""
+    from informers_spark.functions.similarity import jaccard, shingle_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    base = docs.select(
+        F.col("doc_id").alias("id"), shingle_fingerprints(F.col("text")).alias("fps")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+            F.round(jaccard(F.col("a.fps"), F.col("b.fps")), 6).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.05)
+        .orderBy("a", "b")
+    )
+
+
+def _jaccard_sample_sql() -> str:
+    shingle = (
+        f"list_distinct(list_transform(generate_series(1, GREATEST(len(t) - 2, 1)), "
+        f"i -> {_DUCK_FP.format(S='array_to_string(list_slice(t, i, i + 2), chr(32))')}))"
+    )
+    return f"""
+WITH fpset AS (
+  SELECT doc_id AS id, {shingle} AS fps
+  FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents WHERE doc_id < 40)
+)
+SELECT a.id AS a, b.id AS b,
+       ROUND(len(list_intersect(a.fps, b.fps))::DOUBLE / len(list_distinct(list_concat(a.fps, b.fps)))::DOUBLE, 6) AS jac
+FROM fpset a, fpset b
+WHERE a.id < b.id
+  AND len(list_intersect(a.fps, b.fps))::DOUBLE / len(list_distinct(list_concat(a.fps, b.fps)))::DOUBLE >= 0.05
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_DUCK_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(generate_series(1, 64), i -> {A}[i]::DOUBLE * {B}[i]::DOUBLE)), (x, y) -> x + y)"
+)
+_DUCK_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(generate_series(1, 64), i -> {A}[i]::DOUBLE * {A}[i]::DOUBLE)), (x, y) -> x + y))"
+)
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy("query_id", "rank")
+
+
+Q_KNN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DUCK_DOT.format(A="qv", B="cv")} / ({_DUCK_NORM.format(A="qv")} * {_DUCK_NORM.format(A="cv")}) AS cs
+  FROM c, q WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cs, 6) AS cos_sim FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def _bucket_sql(vec: str) -> str:
+    w = ann.plane_weights(8, 64)
+    parts = []
+    for i in range(8):
+        weights = "[" + ", ".join(str(x) for x in w[i]) + "]"
+        dot = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(generate_series(1, 64), j -> {vec}[j]::DOUBLE * ({weights}::BIGINT[])[j]::DOUBLE)), (x, y) -> x + y)"
+        )
+        parts.append(f"CASE WHEN {dot} > 0 THEN {2**i}::BIGINT ELSE 0::BIGINT END")
+    return "(" + " + ".join(parts) + ")"
+
+
+def q_lsh_buckets(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", ann.hyperplane_bucket(F.col("embedding"), 8).alias("bucket")
+    ).orderBy("vec_id")
+
+
+def _lsh_buckets_sql() -> str:
+    return f"SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings ORDER BY vec_id"
+
+
+def q_centroids(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.centroids(emb).orderBy("label", "dim")
+
+
+Q_CENTROIDS_SQL = """
+SELECT label, dim, ROUND(AVG(val), 6) AS mean_val
+FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding)::DOUBLE AS val
+      FROM embeddings)
+GROUP BY label, dim ORDER BY label, dim
+"""
+
+
+def q_cc_components(spark, sf_dir):
+    """Connected components over chain edges within LSH buckets — the
+    iterative label-propagation operator validated against a DuckDB
+    recursive CTE."""
+    emb = _t(spark, sf_dir, "embeddings")
+    with_bucket = emb.select(
+        "vec_id", ann.hyperplane_bucket(F.col("embedding"), 8).alias("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy("vec_id")
+    edges = (
+        with_bucket.withColumn("prev", F.lag("vec_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("vec_id").alias("dst"))
+    )
+    return connected_components(edges).orderBy("node")
+
+
+def _cc_sql() -> str:
+    return f"""
+WITH RECURSIVE buckets AS (
+  SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+chain AS (
+  SELECT LAG(vec_id) OVER (PARTITION BY bucket ORDER BY vec_id) AS src, vec_id AS dst
+  FROM buckets
+),
+edges_d AS (SELECT src, dst FROM chain WHERE src IS NOT NULL),
+edges AS (SELECT src AS u, dst AS v FROM edges_d UNION SELECT dst, src FROM edges_d),
+reach AS (
+  SELECT u AS node, u AS comp FROM edges
+  UNION
+  SELECT e.v AS node, r.comp FROM edges e JOIN reach r ON r.node = e.u WHERE r.comp < e.v
+)
+SELECT node, MIN(comp) AS component FROM reach GROUP BY node ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# inference pipelines over documents (classify/zero-shot/rerank have exact
+# SQL oracles because the deterministic backend is lexicon arithmetic;
+# embed/ner are rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_classify_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = classify(docs.select("doc_id", "text"), backend="hash")
+    return out.select("doc_id", "label", F.round(F.col("score").cast("double"), 4).alias("score")).orderBy("doc_id")
+
+
+def _classify_sql() -> str:
+    toks = "list_distinct(list_transform(" + _DUCK_TOKENS + ", t -> lower(t)))"
+    neg = "[" + ", ".join(repr(w) for w in NEGATIVE) + "]"
+    pos = "[" + ", ".join(repr(w) for w in POSITIVE) + "]"
+    return f"""
+WITH logits AS (
+  SELECT doc_id,
+         1.0 + 2.0 * len(list_filter({toks}, t -> list_contains({neg}, t))) AS l_neg,
+         1.0 + 2.0 * len(list_filter({toks}, t -> list_contains({pos}, t))) AS l_pos
+  FROM documents
+)
+SELECT doc_id,
+       -- np.argmax tie-break: first index (NEGATIVE) wins on equality
+       CASE WHEN l_neg >= l_pos THEN 'NEGATIVE' ELSE 'POSITIVE' END AS label,
+       ROUND((EXP(GREATEST(l_pos, l_neg) - GREATEST(l_pos, l_neg))
+              / (EXP(l_pos - GREATEST(l_pos, l_neg)) + EXP(l_neg - GREATEST(l_pos, l_neg))))::FLOAT::DOUBLE, 4) AS score
+FROM logits ORDER BY doc_id
+"""
+
+
+def q_zero_shot_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = zero_shot(docs, labels=ZS_LABELS, backend="hash")
+    return out.select(
+        "doc_id", "candidate_label", F.round(F.col("score"), 4).alias("score")
+    ).orderBy("doc_id", "candidate_label")
+
+
+def _zero_shot_sql() -> str:
+    # hash-backend NLI: entailment logit = 4 * |premise∩hyp| / |hyp| with
+    # stopwords removed; hypothesis "This example is {label}." → tokens
+    # {example, label, '.'} after stopword removal ('this','is' are
+    # stopwords, the trailing '.' is its own token and NOT a stopword, so
+    # |hyp| = 3). The synthetic docs contain no '.' so it never intersects.
+    stop = _STOP_SQL
+    toks = f"list_filter(list_distinct(list_transform({_DUCK_TOKENS}, t -> lower(t))), t -> NOT list_contains({stop}, t))"
+    labels = ", ".join(f"('{l}')" for l in ZS_LABELS)
+    return f"""
+WITH pt AS (SELECT doc_id, {toks} AS toks FROM documents),
+lab(candidate_label) AS (VALUES {labels}),
+pairs AS (
+  SELECT doc_id, candidate_label,
+         4.0 * (len(list_filter(toks, t -> t = 'example' OR t = candidate_label)))::DOUBLE / 3.0 AS ent
+  FROM pt, lab
+),
+with_max AS (
+  SELECT doc_id, candidate_label, EXP(ent - MAX(ent) OVER (PARTITION BY doc_id)) AS e
+  FROM pairs
+),
+sm AS (
+  SELECT doc_id, candidate_label, e / SUM(e) OVER (PARTITION BY doc_id) AS score
+  FROM with_max
+)
+SELECT doc_id, candidate_label, ROUND(score, 4) AS score FROM sm
+ORDER BY doc_id, candidate_label
+"""
+
+
+def q_rerank_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = docs.select("doc_id", F.lit(RERANK_QUERY).alias("query"), "text")
+    out = rerank(pairs, query_col="query", doc_col="text", top_k=10)
+    return out.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score"), "rank"
+    ).orderBy("rank")
+
+
+def _rerank_sql() -> str:
+    # hash-backend rerank: sigmoid(8 * |q∩d| / |q| - 4); query tokens
+    # {fast, hash, join, table} (4, none are stopwords); rank by score
+    # desc then doc text asc (pipeline tie-break), top 10.
+    stop = _STOP_SQL
+    dtoks = f"list_filter(list_distinct(list_transform({_DUCK_TOKENS}, t -> lower(t))), t -> NOT list_contains({stop}, t))"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         (1.0 / (1.0 + EXP(-(8.0 * len(list_filter({dtoks}, t -> list_contains(['fast','hash','join','table'], t)))::DOUBLE / 4.0 - 4.0))))::FLOAT AS score
+  FROM documents WHERE doc_id < 200
+),
+ranked AS (
+  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, text ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, ROUND(score::DOUBLE, 4) AS score, rank FROM ranked WHERE rank <= 10
+ORDER BY rank
+"""
+
+
+def q_embed_docs(spark, sf_dir):
+    """Rows-only check: embedding pipeline output shape/determinism."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return embed(docs, backend="hash").select("doc_id", "embedding")
+
+
+def q_ner_docs(spark, sf_dir):
+    """Rows-only check: NER over initcap'd text (the synthetic docs are
+    lowercase; initcap makes every token a candidate so the BIO path is
+    exercised for real)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    capped = docs.select("doc_id", F.initcap(F.col("text")).alias("text"))
+    return ner(capped, backend="hash").select("doc_id", "entity_group", "word", "start", "end")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_revenue_by_nation": q5_revenue_by_nation,
+    "q_rollup_lineitem": q_rollup_lineitem,
+    "q_window_top_orders": q_window_top_orders,
+    "q_anti_join_customers": q_anti_join_customers,
+    "q_semi_join_parts": q_semi_join_parts,
+    "q_events_sessionize": q_events_sessionize,
+    "q_events_json": q_events_json,
+    "q_top_events": q_top_events,
+    "q_token_count": q_token_count,
+    "q_fingerprint": q_fingerprint,
+    "q_exact_dedup": q_exact_dedup,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_kw_mentions": q_kw_mentions,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_simhash": q_simhash,
+    "q_jaccard_sample": q_jaccard_sample,
+    "q_knn_bruteforce": q_knn_bruteforce,
+    "q_lsh_buckets": q_lsh_buckets,
+    "q_centroids": q_centroids,
+    "q_cc_components": q_cc_components,
+    "q_classify_docs": q_classify_docs,
+    "q_zero_shot_docs": q_zero_shot_docs,
+    "q_rerank_docs": q_rerank_docs,
+    "q_embed_docs": q_embed_docs,
+    "q_ner_docs": q_ner_docs,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_revenue_orders": Q3_SQL,
+    "q5_revenue_by_nation": Q5_SQL,
+    "q_rollup_lineitem": Q_ROLLUP_SQL,
+    "q_window_top_orders": Q_WINDOW_SQL,
+    "q_anti_join_customers": Q_ANTI_SQL,
+    "q_semi_join_parts": Q_SEMI_SQL,
+    "q_events_sessionize": Q_SESSION_SQL,
+    "q_events_json": Q_JSON_SQL,
+    "q_top_events": Q_TOP_EVENTS_SQL,
+    "q_token_count": Q_TOKEN_COUNT_SQL,
+    "q_fingerprint": Q_FINGERPRINT_SQL,
+    "q_exact_dedup": Q_EXACT_DEDUP_SQL,
+    "q_quality_score": Q_QUALITY_SQL,
+    "q_lang_id": _langid_sql(),
+    "q_kw_mentions": Q_KW_MENTIONS_SQL,
+    "q_minhash_pairs": Q_MINHASH_SQL,
+    "q_simhash": _simhash_sql(),
+    "q_jaccard_sample": _jaccard_sample_sql(),
+    "q_knn_bruteforce": Q_KNN_SQL,
+    "q_lsh_buckets": _lsh_buckets_sql(),
+    "q_centroids": Q_CENTROIDS_SQL,
+    "q_cc_components": _cc_sql(),
+    "q_classify_docs": _classify_sql(),
+    "q_zero_shot_docs": _zero_shot_sql(),
+    "q_rerank_docs": _rerank_sql(),
+    # q_embed_docs / q_ner_docs: deterministic-backend inference — not
+    # SQL-expressible; driver records rows-only checks.
+}

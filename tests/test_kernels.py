@@ -1,0 +1,88 @@
+"""Unit parity tests of the numpy kernels against hand-computed values
+replicating the reference semantics (SURVEY.md §5: tensor.rb / math.rb /
+pipelines.rb BIO rules)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from informers_spark.functions.kernels import (
+    get_top_items,
+    group_entities,
+    mean_pooling,
+    normalize,
+    sigmoid,
+    softmax,
+)
+
+
+def test_softmax_matches_reference_semantics():
+    # max-subtracted exp-normalize (utils/math.rb:73-87)
+    x = np.array([1.0, 2.0, 3.0])
+    out = softmax(x)
+    denom = sum(math.exp(v - 3.0) for v in [1.0, 2.0, 3.0])
+    assert out == pytest.approx([math.exp(v - 3.0) / denom for v in [1.0, 2.0, 3.0]])
+    assert out.sum() == pytest.approx(1.0)
+
+
+def test_sigmoid():
+    assert sigmoid(np.array([0.0]))[0] == pytest.approx(0.5)
+    assert sigmoid(np.array([4.0]))[0] == pytest.approx(1 / (1 + math.exp(-4)))
+
+
+def test_get_top_items_k_and_all():
+    scores = np.array([0.1, 0.7, 0.2])
+    assert get_top_items(scores, 2) == [(1, pytest.approx(0.7)), (2, pytest.approx(0.2))]
+    assert [i for i, _ in get_top_items(scores, 0)] == [1, 2, 0]
+
+
+def test_mean_pooling_integer_mask_denominator():
+    # parity-critical: denominator is the raw token count (tensor.rb:12-14)
+    h = np.array([[[2.0, 4.0], [6.0, 8.0], [100.0, 100.0]]], dtype=np.float32)
+    mask = np.array([[1, 1, 0]])
+    out = mean_pooling(h, mask)
+    assert out[0].tolist() == [4.0, 6.0]
+
+
+def test_normalize_l2():
+    v = np.array([[3.0, 4.0]], dtype=np.float32)
+    out = normalize(v)
+    assert out[0].tolist() == pytest.approx([0.6, 0.8])
+
+
+def _ent(entity, score, word, start, end):
+    return {"entity": entity, "score": score, "word": word, "start": start, "end": end}
+
+
+def test_bio_grouping_merges_continuations():
+    ents = [
+        _ent("B-PER", 0.9, "Mat", 8, 11),
+        _ent("I-PER", 0.8, "z", 11, 12),
+    ]
+    groups = group_entities(ents)
+    assert len(groups) == 1
+    g = groups[0]
+    # group score = arithmetic mean (pipelines.rb:168); span first..last
+    assert g["entity_group"] == "PER"
+    assert g["score"] == pytest.approx(0.85)
+    assert g["start"] == 8 and g["end"] == 12
+
+
+def test_bio_adjacent_b_tags_do_not_merge():
+    # two adjacent B- of the same tag do NOT merge (pipelines.rb:209)
+    ents = [_ent("B-PER", 0.9, "Anna", 0, 4), _ent("B-PER", 0.8, "Bob", 5, 8)]
+    assert len(group_entities(ents)) == 2
+
+
+def test_bio_unprefixed_tag_is_continuation():
+    # non-prefixed tags default to I-continuation (pipelines.rb:186-188)
+    ents = [_ent("B-ORG", 0.9, "Apache", 0, 6), _ent("ORG", 0.7, "Spark", 7, 12)]
+    groups = group_entities(ents)
+    assert len(groups) == 1
+    assert groups[0]["word"] == "Apache Spark"
+
+
+def test_bio_tag_change_splits():
+    ents = [_ent("B-ORG", 0.9, "Apache", 0, 6), _ent("I-LOC", 0.7, "Tokyo", 7, 12)]
+    assert len(group_entities(ents)) == 2

@@ -1,0 +1,102 @@
+"""Operator tests: connected components (incl. long-chain convergence),
+dedup family, ANN, portable fingerprints."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from informers_spark.functions.text import FP_MOD
+from informers_spark.operators.ann import knn_bruteforce
+from informers_spark.operators.canon import connected_components
+from informers_spark.operators.dedup import exact_dedup, minhash_pairs, simhash_table
+
+
+def test_cc_two_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    got = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_cc_long_chain_converges():
+    # a 60-node chain has diameter 59 > max_iter: pointer-jumping must
+    # still converge in O(log n) iterations
+    pass
+
+
+def test_cc_long_chain(spark):
+    n = 60
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+    rows = connected_components(edges, max_iter=12).collect()
+    assert all(r.component == 0 for r in rows)
+    assert len(rows) == n + 1
+
+
+def test_cc_string_labels(spark):
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b")], ["src", "dst"]
+    )
+    got = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a")}
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    got = {(r.keeper, r.n_dups) for r in exact_dedup(df).collect()}
+    assert got == {(1, 2), (3, 1)}
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " ok"
+    far = "completely different words in this entirely unrelated document text"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = {(r.a, r.b) for r in minhash_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_texts_close(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta iota"),
+         (3, "one two three four five six seven eight")],
+        ["doc_id", "text"],
+    )
+    rows = {r.id: r.simhash for r in simhash_table(df).collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
+
+
+def test_fingerprint_matches_python(spark):
+    from informers_spark.functions.text import fingerprint
+
+    s = "hello world"
+    expected = 0
+    for ch in s:
+        expected = (expected * 31 + ord(ch)) % FP_MOD
+    got = (
+        spark.createDataFrame([(s,)], ["text"])
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .collect()[0]
+        .fp
+    )
+    assert got == expected
+
+
+def test_knn_finds_identical_vector(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0]),   # nearly identical to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    # patch dim-64 assumption: cosine works on any length
+    out = knn_bruteforce(df, df.filter(F.col("vec_id") == 0), k=1).collect()
+    assert out[0].neighbor_id == 1 and out[0].rank == 1

@@ -1,0 +1,83 @@
+"""Pipeline tests modeled on the reference's e2e fixtures
+(/root/reference/test/pipeline_test.rb) — same input sentences and
+assertion structure, with expected values from the deterministic hash
+backend (the ONNX golden numbers apply only when onnxruntime + the pinned
+models are staged; see FIXTURES.md)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from informers_spark.pipelines import classify, embed, ner, rerank, zero_shot
+
+REF_SENTENCE = "Ruby is a programming language created by Matz"
+
+
+def _df(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+
+
+def test_ner_reference_fixture_span(spark):
+    # reference expects PER "Matz" at [42, 46) (pipeline_test.rb:4-13)
+    out = ner(_df(spark, [REF_SENTENCE]), backend="hash").collect()
+    matz = [r for r in out if r.word == "Matz"]
+    assert len(matz) == 1
+    r = matz[0]
+    assert r.entity_group == "PER"
+    assert r.start == 42 and r.end == 46
+    # hash backend: logit 6 vs 8 zeros → softmax score e^6/(e^6+8)
+    assert r.score == pytest.approx(math.exp(6) / (math.exp(6) + 8), abs=1e-5)
+
+
+def test_ner_multiword_group(spark):
+    out = ner(_df(spark, ["Deployed by Apache Spark Framework in Tokyo"]), backend="hash").collect()
+    words = {r.word: r.entity_group for r in out}
+    assert words.get("Apache Spark Framework") == "ORG"
+    assert words.get("Tokyo") == "LOC"
+
+
+def test_embed_deterministic_unit_norm(spark):
+    texts = ["This is an example sentence", "Each sentence is converted"]
+    rows = embed(_df(spark, texts), backend="hash").orderBy("id").collect()
+    assert len(rows[0].embedding) == 64
+    norm = sum(x * x for x in rows[0].embedding)
+    assert norm == pytest.approx(1.0, abs=1e-5)
+    again = embed(_df(spark, texts), backend="hash").orderBy("id").collect()
+    assert rows[0].embedding == again[0].embedding
+
+
+def test_embed_cls_pooling_differs(spark):
+    df = _df(spark, ["alpha beta gamma"])
+    mean_v = embed(df, backend="hash").collect()[0].embedding
+    cls_v = embed(df, pooling="cls", backend="hash").collect()[0].embedding
+    assert mean_v != cls_v
+
+
+def test_classify_sentiment_fixture(spark):
+    # reference: "I love transformers!" → POSITIVE (pipeline_test.rb:27-42)
+    out = classify(_df(spark, ["I love transformers!"]), backend="hash").collect()[0]
+    assert out.label == "POSITIVE"
+    assert out.score > 0.8
+
+
+def test_zero_shot_scores_sum_to_one(spark):
+    labels = ["storage", "query", "streaming"]
+    out = zero_shot(_df(spark, ["a query plan for the query engine"]), labels, backend="hash")
+    rows = out.collect()
+    assert len(rows) == 3
+    assert sum(r.score for r in rows) == pytest.approx(1.0)
+    best = max(rows, key=lambda r: r.score)
+    assert best.candidate_label == "query"
+
+
+def test_rerank_orders_by_overlap(spark):
+    docs = [
+        "the fast hash join table implementation",
+        "completely unrelated words here",
+    ]
+    pairs = _df(spark, docs).withColumn("query", F.lit("fast hash join table"))
+    out = rerank(pairs, query_col="query", doc_col="text").orderBy("rank").collect()
+    assert out[0].text == docs[0]
+    assert out[0].rank == 1 and out[1].rank == 2
+    assert out[0].score > out[1].score
