@@ -1,0 +1,84 @@
+"""Reference-shaped API facade.
+
+The reference's entry point is `Informers.pipeline(task, model)` → a
+callable over strings (reference: lib/informers/pipelines.rb:1355-1425,
+SUPPORTED_TASKS registry at :1083-1327, aliases at :1329-1333). Here a
+task name resolves to a DataFrame → DataFrame transform, so a reference
+user's `pipeline("ner").("text")` becomes `pipeline("ner")(df)`.
+
+Task registry mirrors the reference's implemented text tasks; vision /
+audio / generation tasks raise NotImplementedError with the reference
+citation (they are stubs upstream too or out of the KG scope —
+SURVEY.md §7.6).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+from informers_spark.pipelines.classify import classify, zero_shot
+from informers_spark.pipelines.embed import embed
+from informers_spark.pipelines.ner import ner
+from informers_spark.pipelines.qa import fill_mask, question_answering
+from informers_spark.pipelines.rerank import rerank
+
+# reference alias map (pipelines.rb:1329-1333)
+TASK_ALIASES = {
+    "sentiment-analysis": "text-classification",
+    "ner": "token-classification",
+    "text-to-speech": "text-to-audio",
+    "embedding": "embedding",
+}
+
+SUPPORTED_TASKS = {
+    "text-classification": classify,
+    "token-classification": ner,
+    "question-answering": question_answering,
+    "fill-mask": fill_mask,
+    "zero-shot-classification": zero_shot,
+    "feature-extraction": partial(embed, pooling="mean", do_normalize=False),
+    # embedding defaults: pooling mean + normalize (pipelines.rb:1042-1051)
+    "embedding": partial(embed, pooling="mean", do_normalize=True),
+    "reranking": rerank,
+}
+
+_OUT_OF_SCOPE = {
+    # task name → reference location of the upstream implementation
+    "text2text-generation": "pipelines.rb:314-354 (generation; SURVEY.md §7.6)",
+    "summarization": "pipelines.rb:356-358",
+    "translation": "pipelines.rb:360-362",
+    "text-generation": "pipelines.rb:364-418",
+    "image-classification": "pipelines.rb:520-548 (vision)",
+    "image-segmentation": "pipelines.rb:551-625",
+    "object-detection": "pipelines.rb:671-704",
+    "automatic-speech-recognition": "pipelines.rb:973-988 (raises Todo upstream)",
+    "audio-classification": "pipelines.rb:895-928",
+    "image-to-text": "pipelines.rb:499-518",
+    "text-to-audio": "pipelines.rb:801-819",
+}
+
+
+def pipeline(task: str, backend: str = "auto", **defaults):
+    """→ a DataFrame transform fn(df, **overrides) for the task."""
+    task = TASK_ALIASES.get(task, task)
+    if task in SUPPORTED_TASKS:
+        fn = SUPPORTED_TASKS[task]
+
+        def transform(df, **kwargs):
+            merged = {**defaults, **kwargs}
+            return fn(df, backend=backend, **merged)
+
+        transform.task = task
+        return transform
+    if task in _OUT_OF_SCOPE:
+        raise NotImplementedError(
+            f"task '{task}' is out of scope for the KG engine "
+            f"(reference: {_OUT_OF_SCOPE[task]})"
+        )
+    raise ValueError(f"Unsupported pipeline: {task}")
+
+
+def embed_texts(df, text_col: str = "text", backend: str = "auto"):
+    """Convenience mirroring the legacy Model#embed
+    (reference: lib/informers/model.rb:3-13)."""
+    return embed(df, text_col=text_col, backend=backend)

@@ -140,6 +140,44 @@ class HashBackend:
             logits[i, 2] = 4.0 * overlap  # entailment
         return logits, {"contradiction": 0, "neutral": 1, "entailment": 2}
 
+    # --- QA path -------------------------------------------------------------
+    def qa_logits(self, question: str, context: str, toks):
+        """Start/end logits over context tokens: tokens overlapping the
+        question score high; runs of matches favor start at run-begin and
+        end at run-end (gives multi-token answers)."""
+        qt = {t.lower() for t, _, _ in tokenize_with_offsets(question)} - _STOP
+        n = len(toks)
+        start = np.zeros(n, dtype=np.float32)
+        end = np.zeros(n, dtype=np.float32)
+        match = [t.lower() in qt for t, _, _ in toks]
+        for j in range(n):
+            if match[j]:
+                start[j] = 4.0 + (2.0 if j == 0 or not match[j - 1] else 0.0)
+                end[j] = 4.0 + (2.0 if j == n - 1 or not match[j + 1] else 0.0)
+        return start, end
+
+    # --- fill-mask path --------------------------------------------------------
+    MASK_VOCAB = sorted(_PER | _ORG | _LOC | _POSITIVE | _NEGATIVE | {"language", "capital", "code"})
+
+    def mask_logits(self, text: str, mask_token: str):
+        """Vocab logits at the mask position: cosine of each vocab token's
+        vector against the mean of the unmasked context tokens."""
+        ctx = [t for t, _, _ in tokenize_with_offsets(text.replace(mask_token, " "))]
+        ctx = [t for t in ctx if t.lower() not in _STOP]
+        if ctx:
+            mean = np.mean([self._vec(t) for t in ctx], axis=0)
+            mean = mean / (np.linalg.norm(mean) + 1e-9)
+        else:
+            mean = np.zeros(self.dim, dtype=np.float32)
+        logits = np.array(
+            [
+                8.0 * float(np.dot(mean, self._vec(w) / np.linalg.norm(self._vec(w))))
+                for w in self.MASK_VOCAB
+            ],
+            dtype=np.float32,
+        )
+        return list(self.MASK_VOCAB), logits
+
     # --- reranking path ------------------------------------------------------
     def rerank(self, queries: list[str], docs: list[str]) -> np.ndarray:
         out = np.zeros(len(queries), dtype=np.float32)

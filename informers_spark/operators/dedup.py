@@ -54,29 +54,42 @@ def minhash_pairs(
     key), bucket self-join (equi-join — NOT a cross join), exact-Jaccard
     verify on the joined shingle sets. The max_bucket guard caps any
     band bucket before the self-join (quadratic blowup protection)."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingle_fingerprints(F.col(text_col), shingle_n).alias("fps"),
-    ).withColumn("sig", minhash_signature(F.col("fps"), k=k))
+    # materialize the shingle/signature computation ONCE: the skew-guard
+    # aggregate, both self-join sides, and both fps re-attach joins all
+    # consume it — without a checkpoint Catalyst recomputes the per-char
+    # fold 3-5x (measured 3x slower). At cluster scale this is the
+    # stage boundary a warehouse checkpoint would give us anyway.
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingle_fingerprints(F.col(text_col), shingle_n).alias("fps"),
+        )
+        .withColumn("sig", minhash_signature(F.col("fps"), k=k))
+        .localCheckpoint()
+    )
+    # band WITHOUT the shingle arrays: the 8-way band explosion and the
+    # bucket self-join shuffle only (id, band, key) — the heavy fps
+    # arrays are re-attached once per side AFTER pair dedup (2 joins
+    # instead of 8x array duplication through the shuffle)
     banded = base.select(
-        "id", "fps", F.explode(minhash_bands(F.col("sig"), bands, k // bands)).alias("bk")
-    ).select("id", "fps", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        "id", F.explode(minhash_bands(F.col("sig"), bands, k // bands)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     sizes = banded.groupBy("band", "key").agg(F.count("*").alias("n"))
     banded = banded.join(
         sizes.filter(F.col("n") <= max_bucket).select("band", "key"), ["band", "key"]
     )
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    id_pairs = (
         a.join(b, ["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("a"),
-            F.col("b.id").alias("b"),
-            F.col("a.fps").alias("fa"),
-            F.col("b.fps").alias("fb"),
-        )
-        .dropDuplicates(["a", "b"])
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+    fps = base.select("id", "fps")
+    pairs = (
+        id_pairs.join(fps.select(F.col("id").alias("a"), F.col("fps").alias("fa")), "a")
+        .join(fps.select(F.col("id").alias("b"), F.col("fps").alias("fb")), "b")
         .withColumn("jac", jaccard(F.col("fa"), F.col("fb")))
         .filter(F.col("jac") >= threshold)
         .select("a", "b", F.round("jac", 6).alias("jac"))

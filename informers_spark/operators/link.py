@@ -57,9 +57,15 @@ def candidate_pairs(
         F.col(surface_col).alias("surface"),
         minhash_signature(_char_shingle_fps(F.col(surface_col)), k=k).alias("sig"),
     )
-    banded = sig.select(
-        "surface", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
-    ).select("surface", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # materialize once: the skew-guard aggregate and both self-join sides
+    # would otherwise each recompute the per-char shingle fold
+    banded = (
+        sig.select(
+            "surface", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
+        )
+        .select("surface", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .localCheckpoint()
+    )
 
     # skew guard: drop pathological buckets before the self-join
     sizes = banded.groupBy("band", "key").agg(F.count("*").alias("n"))

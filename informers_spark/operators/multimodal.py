@@ -1,0 +1,126 @@
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, processed by Arrow-batched mapInPandas UDFs.
+
+The reference's vision/audio path (libvips RawImage, ffmpeg PCM decode —
+reference: lib/informers/utils/image.rb, lib/informers/utils/ffmpeg.rb)
+is single-file FFI; the Spark-side design is: binary payload + metadata
+struct travel as columns, decode/feature steps run per Arrow batch on
+executors. The decode libs (vips/ffmpeg/PIL) are NOT in this container,
+so `decode_fn` defaults to a deterministic fake that parses our synthetic
+header — the Spark plumbing (schema, batching, UDF signature, partition
+behavior) is real and tested; swap `decode_fn` for a real decoder in a
+container that has one.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("channels", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_MAGIC = b"ISMM"  # synthetic header: magic + w + h + c (uint16 each)
+
+
+def make_synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = header + seeded bytes)."""
+    rows = []
+    for i in range(n):
+        w, h, c = 8 + (i * 7 + seed) % 24, 8 + (i * 11 + seed) % 24, 3
+        rng = np.random.Generator(np.random.PCG64(seed * 100_003 + i))
+        body = rng.integers(0, 256, size=w * h * c, dtype=np.uint8).tobytes()
+        payload = _MAGIC + struct.pack("<HHH", w, h, c) + body
+        rows.append((i, "image", bytearray(payload), (w, h, c, None, None)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def fake_decode(payload: bytes) -> np.ndarray:
+    """Parse the synthetic header → HWC uint8 array. Raises on foreign
+    bytes (a real decoder goes here)."""
+    if payload[:4] != _MAGIC:
+        raise NotImplementedError(
+            "real image decoding requires vips/PIL — not available in this "
+            "container; only synthetic ISMM payloads are decodable"
+        )
+    w, h, c = struct.unpack("<HHH", payload[4:10])
+    return np.frombuffer(payload[10:10 + w * h * c], dtype=np.uint8).reshape(h, w, c)
+
+
+def extract_image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    decode_fn=fake_decode,
+    resize_to: int = 8,
+) -> DataFrame:
+    """Decode → bilinear-ish resize (numpy) → per-channel mean/std feature
+    vector. One mapInPandas; all input columns pass through."""
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+    keep = [f.name for f in df.schema.fields if f.name != payload_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                img = decode_fn(bytes(payload)).astype(np.float32)
+                h, w, c = img.shape
+                # nearest-neighbor resample to resize_to x resize_to
+                yi = (np.arange(resize_to) * h // resize_to)
+                xi = (np.arange(resize_to) * w // resize_to)
+                small = img[np.ix_(yi, xi)]
+                feat = np.concatenate(
+                    [small.mean(axis=(0, 1)), small.std(axis=(0, 1))]
+                ).astype(np.float32)
+                feats.append(feat)
+            out = pdf[keep].copy()
+            out["features"] = feats
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    every_n: int = 10,
+) -> DataFrame:
+    """Frame-sampling plumbing: explode a video payload into frame rows
+    (frame decode stubbed — container has no ffmpeg). Emits one row per
+    sampled frame index based on meta.n_frames."""
+    frames = df.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1, F.lit(0)),
+                F.lit(every_n),
+            )
+        ).alias("frame_idx"),
+    )
+    return frames

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -28,13 +29,22 @@ def embed(
     out_col: str = "embedding",
     pooling: str = "mean",
     do_normalize: bool = True,
+    quantize: str | None = None,
     backend: str = "auto",
     backend_opts: dict | None = None,
 ) -> DataFrame:
-    """Append an array<float> embedding column. All input columns pass through."""
+    """Append an array<float> embedding column. All input columns pass through.
+
+    quantize: None | "binary" (sign → {1,-1} int8 per dim) | "ubinary"
+    (sign bits packed 8-per-byte). The reference calls
+    quantize_embeddings(result, precision) (pipelines.rb:876-877) but
+    never defines it — semantics follow the transformers.js original it
+    ports.
+    """
     opts = backend_opts or {}
+    elem = T.FloatType() if quantize is None else T.IntegerType()
     schema = T.StructType(
-        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(elem))]
     )
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -56,6 +66,10 @@ def embed(
                 raise ValueError(f"unsupported pooling: {pooling}")
             if do_normalize:
                 pooled = normalize(pooled)
+            if quantize == "binary":
+                pooled = np.where(pooled > 0, 1, -1).astype(np.int32)
+            elif quantize == "ubinary":
+                pooled = np.packbits(pooled > 0, axis=-1).astype(np.int32)
             pdf = pdf.copy()
             pdf[out_col] = list(pooled)
             yield pdf

@@ -52,8 +52,13 @@ def ner(
         from informers_spark.backend.base import get_backend
 
         be = get_backend(backend, **opts)
+        mention_cols = ["entity_group", "word", "score", "start", "end"]
         for pdf in batches:
-            out_rows = []
+            # columnar assembly: source row index + one list per mention
+            # column, then a single .take() to replicate input rows —
+            # no per-row iloc (the pandas slow path)
+            src_idx: list[int] = []
+            m_out: dict[str, list] = {c: [] for c in mention_cols}
             if len(pdf):
                 texts = pdf[text_col].fillna("").astype(str).tolist()
                 logits_list, offsets_list, id2label = be.token_classify(texts)
@@ -93,18 +98,19 @@ def ner(
                             }
                             for e in ents
                         ]
-                    base = pdf.iloc[row_i]
                     for g in groups:
-                        rec = {c: base[c] for c in in_cols}
-                        rec.update(
-                            entity_group=g["entity_group"],
-                            word=g["word"],
-                            score=np.float32(g["score"]),
-                            start=np.int32(g["start"]),
-                            end=np.int32(g["end"]),
-                        )
-                        out_rows.append(rec)
-            cols = in_cols + ["entity_group", "word", "score", "start", "end"]
-            yield pd.DataFrame(out_rows, columns=cols)
+                        src_idx.append(row_i)
+                        m_out["entity_group"].append(g["entity_group"])
+                        m_out["word"].append(g["word"])
+                        m_out["score"].append(g["score"])
+                        m_out["start"].append(g["start"])
+                        m_out["end"].append(g["end"])
+            out = pdf.take(src_idx)[in_cols].reset_index(drop=True)
+            out["entity_group"] = pd.Series(m_out["entity_group"], dtype=object)
+            out["word"] = pd.Series(m_out["word"], dtype=object)
+            out["score"] = np.asarray(m_out["score"], dtype=np.float32)
+            out["start"] = np.asarray(m_out["start"], dtype=np.int32)
+            out["end"] = np.asarray(m_out["end"], dtype=np.int32)
+            yield out
 
     return df.mapInPandas(infer, schema=schema)

@@ -40,11 +40,17 @@ from informers_spark.sources.warehouse import Warehouse
 TRIPLE_COLS = ["subj", "pred", "obj", "score", "src_sha256"]
 
 
-def salt_partition(df: DataFrame, partitions: int, *keys: str) -> DataFrame:
+def salt_partition(df: DataFrame, partitions: int | None, *keys: str) -> DataFrame:
     """Repartition by (keys..., salt) — explicit skew-neutralizer: a hot
-    repo spreads over `partitions` tasks instead of one."""
+    repo spreads over many tasks instead of one. The partition COUNT is
+    left to AQE (user-fixed counts disable adaptive coalescing, which
+    blows up output file counts at high core counts and under-splits at
+    scale); pass `partitions` only to override."""
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(*keys, F.lit(17)), F.lit(64)))
-    out = salted.repartition(partitions, *keys, "_salt")
+    if partitions:
+        out = salted.repartition(partitions, *keys, "_salt")
+    else:
+        out = salted.repartition(*keys, "_salt")
     return out.drop("_salt")
 
 
@@ -60,7 +66,6 @@ def build_kg(
     """Run (or resume) the full KG job. Returns stage metrics."""
     wh = Warehouse(spark, warehouse_root)
     metrics: dict[str, dict] = {}
-    partitions = partitions or spark.sparkContext.defaultParallelism * 2
 
     def stage(name: str, make, partition_by=None):
         t0 = time.time()

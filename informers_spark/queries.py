@@ -164,6 +164,106 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+def q_cube_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+Q_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def q_pivot_status(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    ).orderBy("l_returnflag")
+
+
+Q_PIVOT_SQL = """
+SELECT l_returnflag,
+       (SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END))::DOUBLE AS qty_open,
+       (SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END))::DOUBLE AS qty_filled
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_distinct_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+Q_DISTINCT_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """Rows-only: HLL sketches differ across engines by design — the
+    exact-distinct twin (q_distinct_parts) is the oracle-checked one."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (custom temporal operator — Spark has none):
+    for each event, the user's most recent order at or before event ts."""
+    from informers_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("key"), F.col("ts").cast("timestamp").alias("ts")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"), F.col("o_orderdate").cast("timestamp").alias("ts"))
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    out = asof_join(ev, orders, on="ts", by="key", right_cols=["last_orderkey"])
+    return out.select("event_id", "key", "last_orderkey_r").orderBy("event_id")
+
+
+Q_ASOF_SQL = """
+WITH r AS (
+  SELECT o_custkey AS key, o_orderdate::TIMESTAMP AS ts, MAX(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id AS key, r.last_orderkey AS last_orderkey_r
+FROM events e ASOF LEFT JOIN r ON e.user_id = r.key AND e.ts::TIMESTAMP >= r.ts
+ORDER BY e.event_id
+"""
+
+
 def q_window_top_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -695,6 +795,40 @@ ORDER BY rank
 """
 
 
+def q_qa_docs(spark, sf_dir):
+    """Rows-only: question-answering span extraction (deterministic
+    backend; start×end product + softmax semantics per pipelines.rb:228-278)."""
+    from informers_spark.pipelines.qa import question_answering
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    qa_in = docs.select(
+        "doc_id",
+        F.lit("where is the fast hash join").alias("question"),
+        F.col("text").alias("context"),
+    )
+    out = question_answering(qa_in, backend="hash")
+    return out.select("doc_id", "answer", "answer_start", "answer_end")
+
+
+def q_fill_mask_docs(spark, sf_dir):
+    """Rows-only: fill-mask top-5 (deterministic backend)."""
+    from informers_spark.pipelines.qa import fill_mask
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    masked = docs.select(
+        "doc_id",
+        F.concat(F.substring(F.col("text"), 1, 60), F.lit(" [MASK]")).alias("text"),
+    )
+    return fill_mask(masked, backend="hash").select("doc_id", "token_str", "sequence")
+
+
+def q_embed_binary_docs(spark, sf_dir):
+    """Rows-only: binary-quantized embeddings (quantize semantics per
+    pipelines.rb:876-877 / transformers.js)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id", "text")
+    return embed(docs, backend="hash", quantize="binary").select("doc_id", "embedding")
+
+
 def q_embed_docs(spark, sf_dir):
     """Rows-only check: embedding pipeline output shape/determinism."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -719,6 +853,11 @@ QUERIES = {
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "q_rollup_lineitem": q_rollup_lineitem,
+    "q_cube_lineitem": q_cube_lineitem,
+    "q_pivot_status": q_pivot_status,
+    "q_distinct_parts": q_distinct_parts,
+    "q_approx_distinct": q_approx_distinct,
+    "q_asof_join": q_asof_join,
     "q_window_top_orders": q_window_top_orders,
     "q_anti_join_customers": q_anti_join_customers,
     "q_semi_join_parts": q_semi_join_parts,
@@ -743,6 +882,9 @@ QUERIES = {
     "q_rerank_docs": q_rerank_docs,
     "q_embed_docs": q_embed_docs,
     "q_ner_docs": q_ner_docs,
+    "q_qa_docs": q_qa_docs,
+    "q_fill_mask_docs": q_fill_mask_docs,
+    "q_embed_binary_docs": q_embed_binary_docs,
 }
 
 ORACLE_SQL = {
@@ -750,6 +892,10 @@ ORACLE_SQL = {
     "q3_top_revenue_orders": Q3_SQL,
     "q5_revenue_by_nation": Q5_SQL,
     "q_rollup_lineitem": Q_ROLLUP_SQL,
+    "q_cube_lineitem": Q_CUBE_SQL,
+    "q_pivot_status": Q_PIVOT_SQL,
+    "q_distinct_parts": Q_DISTINCT_SQL,
+    "q_asof_join": Q_ASOF_SQL,
     "q_window_top_orders": Q_WINDOW_SQL,
     "q_anti_join_customers": Q_ANTI_SQL,
     "q_semi_join_parts": Q_SEMI_SQL,

@@ -51,14 +51,19 @@ def _fields(seed: int):
     h = lambda salt: F.xxhash64(F.col("id"), F.lit(seed), F.lit(salt))
     hot = F.pmod(h("hot"), F.lit(10)) < 3  # ~30% of rows → repo 0
     repo_idx = F.when(hot, F.lit(0)).otherwise(F.pmod(h("repo"), F.lit(97)))
+    # symbol names carry a numeric suffix so the distinct-triple count
+    # scales with the corpus instead of saturating a tiny vocabulary
+    sym = lambda salt: F.concat(
+        _pick(SYMBOLS, h(salt)), F.lit("_"), F.pmod(h(salt + "n"), F.lit(500)).cast("string")
+    )
     return {
         "repo": F.concat(F.lit("org"), F.pmod(repo_idx, F.lit(13)).cast("string"),
                          F.lit("/repo"), repo_idx.cast("string")),
         "lang": _pick(LANGS, h("lang")),
         "mod1": _pick(MODULES, h("mod1")),
         "mod2": _pick(MODULES, h("mod2") + 1),
-        "sym1": _pick(SYMBOLS, h("sym1")),
-        "sym2": _pick(SYMBOLS, h("sym2") + 1),
+        "sym1": sym("sym1"),
+        "sym2": sym("sym2"),
         "person": _pick(PEOPLE, h("person")),
         "org": _pick(ORGS, h("org")),
         "loc": _pick(LOCS, h("loc")),

@@ -46,8 +46,22 @@ class Warehouse:
         name: str,
         partition_by: list[str] | None = None,
         mode: str = "overwrite",
+        out_partitions: int | None = None,
+        rebalance: bool = True,
     ) -> dict:
+        """Output file sizing: by default an AQE REBALANCE hint sizes the
+        final partitions to advisoryPartitionSizeInBytes regardless of
+        cluster width — commit metadata cost scales with file count, and
+        one-file-per-task-slot inverts scaling at high core counts.
+        out_partitions forces an exact count instead."""
         t0 = time.time()
+        if out_partitions:
+            df = df.repartition(out_partitions)
+        elif rebalance:
+            # rebalance by the partition columns so each output partition
+            # holds one partition-value slice (otherwise every task writes
+            # a file per partition value: tasks x values files)
+            df = df.hint("rebalance", *partition_by) if partition_by else df.hint("rebalance")
         if self.use_iceberg:
             writer = df.writeTo(f"{self.catalog}.{name}").using("iceberg")
             if partition_by:
@@ -62,13 +76,13 @@ class Warehouse:
         with open(self._path(f"{name}._schema.json"), "w") as fh:
             fh.write(df.schema.json())
         out = self.read(name)
-        n = out.count()
-        sha_range = None
+        # one pass for rows + sha lineage range
+        aggs = [F.count(F.lit(1)).alias("n")]
         if "content_sha256" in out.columns:
-            r = out.agg(
-                F.min("content_sha256").alias("lo"), F.max("content_sha256").alias("hi")
-            ).first()
-            sha_range = [r["lo"], r["hi"]]
+            aggs += [F.min("content_sha256").alias("lo"), F.max("content_sha256").alias("hi")]
+        r = out.agg(*aggs).first()
+        n = r["n"]
+        sha_range = [r["lo"], r["hi"]] if "content_sha256" in out.columns else None
         manifest = {
             "table": name,
             "rows": n,

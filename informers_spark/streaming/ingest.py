@@ -1,0 +1,88 @@
+"""Structured Streaming: incremental KG ingestion and event analytics.
+
+The reference has no streaming at all (SURVEY.md §2.g); this is engine
+surface the reference's users get for free by moving to Spark. The key
+design point: extraction/pipeline transforms are pure DataFrame →
+DataFrame functions, so the SAME code runs batch and streaming — a
+micro-batch of newly-landed files flows through the identical
+extract_structural_triples / ner transforms and appends to the triples
+sink with exactly-once file-source + checkpoint semantics.
+
+At cluster scale: file source with maxFilesPerTrigger bounds micro-batch
+size; the sink partitions by pred like the batch warehouse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("file_id", T.LongType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("content_sha256", T.StringType()),
+    ]
+)
+
+
+def stream_files(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 100
+) -> DataFrame:
+    """Streaming scan of a landing directory of parquet file batches."""
+    return (
+        spark.readStream.schema(FILES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def stream_extract_triples(
+    files_stream: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Incremental structural-triple extraction: the batch transform
+    applied to a stream, appended to a pred-partitioned parquet sink.
+    Returns the StreamingQuery (caller awaits termination)."""
+    from informers_spark.operators.extract import extract_structural_triples
+
+    triples = extract_structural_triples(files_stream)
+    writer = (
+        triples.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("pred")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation over an event
+    stream (ts, event_type, value): count + sum(value) per window/type.
+    Late rows beyond the watermark are dropped — state stays bounded."""
+    win = F.window(F.col("ts"), window, slide) if slide else F.window(F.col("ts"), window)
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type", "n", "sum_value",
+        )
+    )

@@ -1,0 +1,56 @@
+"""Structured Streaming: incremental triple extraction with exactly-once
+file-source semantics, and watermarked windowed aggregation."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from informers_spark.sources.corpus import generate_files
+from informers_spark.streaming.ingest import (
+    stream_extract_triples,
+    stream_files,
+    windowed_event_counts,
+)
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    files = generate_files(spark, n=40)
+    # two arrival batches
+    files.filter("file_id < 20").write.parquet(landing)
+    files.filter("file_id >= 20").write.mode("append").parquet(landing)
+
+    q = stream_extract_triples(stream_files(spark, landing), sink, ckpt)
+    q.awaitTermination(120)
+
+    from informers_spark.operators.extract import extract_structural_triples
+
+    batch = extract_structural_triples(files).select("subj", "pred", "obj")
+    streamed = spark.read.parquet(sink).select("subj", "pred", "obj")
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+
+    # restart on the same checkpoint: no reprocessing (exactly-once)
+    q2 = stream_extract_triples(stream_files(spark, landing), sink, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == batch.count()
+
+
+def test_windowed_event_counts_batch_semantics(spark):
+    # the transform is stream-agnostic; verify window math on a batch df
+    ev = spark.createDataFrame(
+        [
+            ("2024-01-01 00:01:00", "click", 1.0),
+            ("2024-01-01 00:05:00", "click", 2.0),
+            ("2024-01-01 00:15:00", "click", 4.0),
+        ],
+        ["ts", "event_type", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r.window_start.minute, r.n, r.sum_value)
+        for r in windowed_event_counts(ev, window="10 minutes").collect()
+    }
+    assert out == {(0, 2, 3.0), (10, 1, 4.0)}
