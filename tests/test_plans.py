@@ -1,0 +1,77 @@
+"""Physical-plan regression checks: filters reach the parquet scan,
+column pruning applies, small dims broadcast, inference UDFs sit directly
+on the scan (no shuffle before them). These guard the 100-TB posture —
+a plan that silently loses pushdown or broadcast still passes row-count
+tests but dies at scale."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .select("l_returnflag", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
+    plan = _plan(df)
+    # ReadSchema must not include unprojected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_q3_broadcasts_customer(spark):
+    from informers_spark.queries import q3_top_revenue_orders
+
+    plan = _plan(q3_top_revenue_orders(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_dims(spark):
+    from informers_spark.queries import q5_revenue_by_nation
+
+    plan = _plan(q5_revenue_by_nation(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_inference_udf_runs_on_scan_partitioning(spark):
+    # embed over documents: plan must be scan → project → ArrowEvalPython/
+    # MapInPandas with NO exchange in between (no shuffle before inference)
+    from informers_spark.pipelines.embed import embed
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = _plan(embed(docs, backend="hash"))
+    before_udf = plan.split("MapInPandas")[0]
+    assert "Exchange" not in before_udf
+
+
+def test_knn_broadcasts_queries(spark):
+    from informers_spark.queries import q_knn_bruteforce
+
+    plan = _plan(q_knn_bruteforce(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_structural_extraction_is_jvm_only(spark):
+    # no Python evaluation nodes in the regex triple extractor
+    from informers_spark.operators.extract import extract_structural_triples
+    from informers_spark.sources.corpus import generate_files
+
+    plan = _plan(extract_structural_triples(generate_files(spark, n=10)))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
