@@ -103,3 +103,28 @@ class OnnxBackend:
         enc = self.tokenizer.encode_batch(list(zip(queries, docs)))
         outs, _ = self._run(enc)
         return outs[0][:, 0].astype(np.float32)
+
+    def qa_logits(self, question: str, context: str, toks):
+        """QA models emit (start_logits, end_logits)
+        (reference: lib/informers/models.rb:1541-1549)."""
+        enc = self.tokenizer.encode_batch([(question, context)])
+        outs, _ = self._run(enc)
+        if len(outs) < 2:
+            raise RuntimeError("staged model does not expose start/end logits")
+        n = sum(enc[0].attention_mask)
+        return outs[0][0, :n].astype(np.float32), outs[1][0, :n].astype(np.float32)
+
+    def mask_logits(self, text: str, mask_token: str):
+        """MaskedLM vocab logits at the mask position
+        (reference: lib/informers/models.rb:1532-1539,
+        pipelines.rb:289-296)."""
+        enc = self.tokenizer.encode_batch([text])
+        ids = enc[0].ids
+        mask_id = self.tokenizer.token_to_id(mask_token)
+        if mask_id is None or mask_id not in ids:
+            raise ValueError("Mask token not found in text")
+        outs, _ = self._run(enc)
+        pos = ids.index(mask_id)
+        logits = outs[0][0, pos].astype(np.float32)
+        vocab = [self.tokenizer.id_to_token(i) or "" for i in range(len(logits))]
+        return vocab, logits

@@ -78,6 +78,10 @@ def zero_shot(
     opts = backend_opts or {}
     spark = df.sparkSession
     labels_df = spark.createDataFrame([(l,) for l in labels], ["candidate_label"])
+    # synthetic row id: the cross-label softmax window partitions on it
+    # instead of on every input column — avoids shuffling the full text
+    # |labels| times at scale
+    df = df.withColumn("_zs_id", F.monotonically_increasing_id())
     pairs = df.crossJoin(F.broadcast(labels_df))
 
     schema = T.StructType(
@@ -117,14 +121,13 @@ def zero_shot(
 
     if multi_label or len(labels) == 1:
         return scored.withColumn("score", F.col("pair_score")).drop(
-            "entailment_logit", "pair_score"
+            "entailment_logit", "pair_score", "_zs_id"
         )
     # softmax of entailment logits across labels per text (pipelines.rb:452-456)
-    key_cols = [f.name for f in df.schema.fields]
-    w = Window.partitionBy(*key_cols)
+    w = Window.partitionBy("_zs_id")
     mx = F.max("entailment_logit").over(w)
     e = F.exp(F.col("entailment_logit") - mx)
     return (
         scored.withColumn("score", e / F.sum(e).over(w))
-        .drop("entailment_logit", "pair_score")
+        .drop("entailment_logit", "pair_score", "_zs_id")
     )
