@@ -25,6 +25,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_revenue_by_nation",
+    "q_cube_lineitem",
+    "q_asof_join",
     "q_window_top_orders",
     "q_events_sessionize",
     "q_token_count",

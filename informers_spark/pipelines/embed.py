@@ -57,10 +57,14 @@ def embed(
                 yield pdf
                 continue
             texts = pdf[text_col].fillna("").astype(str).tolist()
-            hidden, mask = be.encode(texts)
-            if pooling == "mean":
+            if pooling == "mean" and hasattr(be, "mean_encode"):
+                # fused tokenize+pool fast path (no padded hidden tensor)
+                pooled = be.mean_encode(texts)
+            elif pooling == "mean":
+                hidden, mask = be.encode(texts)
                 pooled = mean_pooling(hidden, mask)
             elif pooling == "cls":
+                hidden, mask = be.encode(texts)
                 pooled = hidden[:, 0, :]  # first token (pipelines.rb:866)
             else:
                 raise ValueError(f"unsupported pooling: {pooling}")

@@ -67,13 +67,13 @@ def build_kg(
     wh = Warehouse(spark, warehouse_root)
     metrics: dict[str, dict] = {}
 
-    def stage(name: str, make, partition_by=None):
+    def stage(name: str, make, partition_by=None, rebalance=True):
         t0 = time.time()
         if resume and wh.is_complete(name):
             metrics[name] = {**(wh.manifest(name) or {}), "resumed": True}
             return wh.read(name)
         df = make()
-        m = wh.write(df, name, partition_by=partition_by)
+        m = wh.write(df, name, partition_by=partition_by, rebalance=rebalance)
         m["stage_wall_sec"] = round(time.time() - t0, 3)
         metrics[name] = m
         return wh.read(name)
@@ -81,16 +81,23 @@ def build_kg(
     # 1. files — carry content_sha256 from here through every stage
     if "content_sha256" not in files.columns:
         files = files.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    # the salt repartition already distributes rows (hot-repo spreading);
+    # a second REBALANCE shuffle before the write would be redundant
     files_t = stage(
         "files",
         lambda: salt_partition(files, partitions, "repo", "path"),
         partition_by=["lang"],
+        rebalance=False,
     )
 
-    # 2. mentions (NER inference — runs on scan partitioning, no shuffle)
-    mentions = stage("mentions", lambda: mentions_table(files_t, backend=backend))
+    # 2. mentions (NER inference — runs on scan partitioning; no shuffle
+    # before OR after: the UDF output inherits the scan's split sizing,
+    # so a pre-write REBALANCE would only add a full shuffle of the data)
+    mentions = stage(
+        "mentions", lambda: mentions_table(files_t, backend=backend), rebalance=False
+    )
 
-    # 3. embeddings
+    # 3. embeddings (same: map-only over the scan, write in place)
     embeddings = stage(
         "embeddings",
         lambda: embed(
@@ -101,6 +108,7 @@ def build_kg(
             text_col="text",
             backend=backend,
         ).drop("text"),
+        rebalance=False,
     )
 
     # 4. raw triples: structural ∪ mentions

@@ -46,6 +46,10 @@ def get_spark(
         # at local[32] vs local[8])
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # 16m parquet row groups: scan splits can't cut inside a row
+        # group, so big row groups silently cap downstream parallelism
+        # (measured: UDF stages ran 4-6 of 16 workers with 128m groups)
+        .config("spark.hadoop.parquet.block.size", str(16 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )

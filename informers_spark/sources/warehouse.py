@@ -83,6 +83,10 @@ class Warehouse:
         r = out.agg(*aggs).first()
         n = r["n"]
         sha_range = [r["lo"], r["hi"]] if "content_sha256" in out.columns else None
+        # NOTE: do not os.sync() here — sync(2) is machine-wide and blocks
+        # on OTHER tenants' dirty pages in this shared sandbox (measured
+        # random 5-200s stage stalls); writeback interference is the
+        # lesser evil
         manifest = {
             "table": name,
             "rows": n,
