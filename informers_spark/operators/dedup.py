@@ -75,9 +75,14 @@ def minhash_pairs(
         "id", F.explode(minhash_bands(F.col("sig"), bands, k // bands)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    sizes = banded.groupBy("band", "key").agg(F.count("*").alias("n"))
-    banded = banded.join(
-        sizes.filter(F.col("n") <= max_bucket).select("band", "key"), ["band", "key"]
+    # skew guard via window count: one shuffle on (band, key), reused by
+    # the self-join, instead of groupBy + re-join
+    banded = (
+        banded.withColumn(
+            "_bn", F.count("*").over(Window.partitionBy("band", "key"))
+        )
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
     )
     a, b = banded.alias("a"), banded.alias("b")
     id_pairs = (

@@ -67,11 +67,16 @@ def candidate_pairs(
         .localCheckpoint()
     )
 
-    # skew guard: drop pathological buckets before the self-join
-    sizes = banded.groupBy("band", "key").agg(F.count("*").alias("n"))
-    banded = banded.join(
-        sizes.filter(F.col("n") <= max_bucket).select("band", "key"),
-        ["band", "key"],
+    # skew guard: drop pathological buckets before the self-join — a
+    # window count over the (band, key) partitioning costs ONE shuffle
+    # (vs groupBy + re-join = two) and the self-join below reuses the
+    # same partitioning
+    banded = (
+        banded.withColumn(
+            "_bn", F.count("*").over(Window.partitionBy("band", "key"))
+        )
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
     )
 
     a = banded.alias("a")
