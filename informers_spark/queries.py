@@ -658,6 +658,73 @@ GROUP BY label, dim ORDER BY label, dim
 """
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, LSH-blocked (only same
+    hyperplane-bucket pairs scored)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup(emb, threshold=0.3).orderBy("a", "b")
+
+
+def _embedding_neardup_sql() -> str:
+    return f"""
+WITH b AS (SELECT vec_id AS id, embedding AS v, {_bucket_sql('embedding')} AS bucket FROM embeddings)
+SELECT x.id AS a, y.id AS b,
+       ROUND({_DUCK_DOT.format(A="x.v", B="y.v")} / ({_DUCK_NORM.format(A="x.v")} * {_DUCK_NORM.format(A="y.v")}), 6) AS cos_sim
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+WHERE {_DUCK_DOT.format(A="x.v", B="y.v")} / ({_DUCK_NORM.format(A="x.v")} * {_DUCK_NORM.format(A="y.v")}) >= 0.3
+ORDER BY a, b
+"""
+
+
+def q_range_join_events(spark, sf_dir):
+    """Bucketed temporal range join: pairs of events by DIFFERENT users
+    within 5 seconds of each other — the scalable band-join pattern
+    (bucket ts to the band width, join adjacent buckets, filter exact)
+    instead of an O(n^2) inequality join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    band = 5_000_000  # 5s in micros
+    a = ev.select(
+        F.col("event_id").alias("a"), F.col("user_id").alias("ua"),
+        F.col("us").alias("us_a"), F.floor(F.col("us") / band).alias("bkt"),
+    )
+    # each right row lands in its bucket and both neighbors, so every
+    # |dt|<=band pair shares a bucket key exactly once after dedup
+    b = ev.select(
+        F.col("event_id").alias("b"), F.col("user_id").alias("ub"),
+        F.col("us").alias("us_b"),
+        F.explode(
+            F.array(
+                F.floor(F.col("us") / band) - 1,
+                F.floor(F.col("us") / band),
+                F.floor(F.col("us") / band) + 1,
+            )
+        ).alias("bkt"),
+    )
+    return (
+        a.join(b, "bkt")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.col("ua") != F.col("ub"))
+            & (F.abs(F.col("us_a") - F.col("us_b")) <= band)
+        )
+        .select("a", "b")
+        .distinct()
+        .orderBy("a", "b")
+    )
+
+
+Q_RANGE_JOIN_SQL = """
+SELECT x.event_id AS a, y.event_id AS b
+FROM events x JOIN events y
+  ON x.event_id < y.event_id
+ AND x.user_id <> y.user_id
+ AND ABS(epoch_us(x.ts) - epoch_us(y.ts)) <= 5000000
+ORDER BY a, b
+"""
+
+
 def q_cc_components(spark, sf_dir):
     """Connected components over chain edges within LSH buckets — the
     iterative label-propagation operator validated against a DuckDB
@@ -876,6 +943,8 @@ QUERIES = {
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_lsh_buckets": q_lsh_buckets,
     "q_centroids": q_centroids,
+    "q_embedding_neardup": q_embedding_neardup,
+    "q_range_join_events": q_range_join_events,
     "q_cc_components": q_cc_components,
     "q_classify_docs": q_classify_docs,
     "q_zero_shot_docs": q_zero_shot_docs,
@@ -914,6 +983,8 @@ ORACLE_SQL = {
     "q_knn_bruteforce": Q_KNN_SQL,
     "q_lsh_buckets": _lsh_buckets_sql(),
     "q_centroids": Q_CENTROIDS_SQL,
+    "q_embedding_neardup": _embedding_neardup_sql(),
+    "q_range_join_events": Q_RANGE_JOIN_SQL,
     "q_cc_components": _cc_sql(),
     "q_classify_docs": _classify_sql(),
     "q_zero_shot_docs": _zero_shot_sql(),
