@@ -321,7 +321,9 @@ def q_events_sessionize(spark, sf_dir):
 
 
 Q_SESSION_SQL = """
-SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+-- SUM(int) is HUGEINT in DuckDB (pandas converts int128 to object/float,
+-- breaking the driver's value hash) — cast back to BIGINT to match Spark
+SELECT user_id, (SUM(new_sess))::BIGINT AS n_sessions, COUNT(*) AS n_events
 FROM (SELECT user_id,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > 1800 * 1000000
@@ -341,16 +343,18 @@ def q_events_json(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             F.sum("k").alias("sum_k"),
-            (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
+            F.round(F.sum("k").cast("double") / F.count("*"), 6).alias("avg_k"),
         )
         .orderBy("event_type")
     )
 
 
 Q_JSON_SQL = """
+-- ::BIGINT on the sum (DuckDB SUM(BIGINT) → HUGEINT) and ROUND on the
+-- raw double quotient, so both engines emit hash-identical values
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
-       SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))::DOUBLE / COUNT(*) AS avg_k
+       (SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)))::BIGINT AS sum_k,
+       ROUND((SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)))::DOUBLE / COUNT(*), 6) AS avg_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -890,25 +894,110 @@ def q_fill_mask_docs(spark, sf_dir):
 
 
 def q_embed_binary_docs(spark, sf_dir):
-    """Rows-only: binary-quantized embeddings (quantize semantics per
-    pipelines.rb:876-877 / transformers.js)."""
+    """Binary-quantized embeddings (quantize semantics per
+    pipelines.rb:876-877 / transformers.js). Output is canonical scalars
+    (dim + csv of the int signs) so the driver can sort/hash it — raw
+    array columns break its pandas canonicalization."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id", "text")
-    return embed(docs, backend="hash", quantize="binary").select("doc_id", "embedding")
+    out = embed(docs, backend="hash", quantize="binary")
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.array_join(F.transform(F.col("embedding"), lambda x: x.cast("string")), ",").alias("emb_csv"),
+    ).orderBy("doc_id")
 
 
 def q_embed_docs(spark, sf_dir):
-    """Rows-only check: embedding pipeline output shape/determinism."""
+    """Embedding pipeline output, canonicalized: per-dim values rounded
+    to 5 decimals and joined to a csv string (driver-hashable; checked
+    against a frozen parquet fixture — the md5-seeded vectors are not
+    SQL-expressible)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return embed(docs, backend="hash").select("doc_id", "embedding")
+    out = embed(docs, backend="hash")
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.array_join(
+            F.transform(F.col("embedding"), lambda x: F.format_string("%.5f", x.cast("double"))), ","
+        ).alias("emb_csv"),
+    ).orderBy("doc_id")
 
 
 def q_ner_docs(spark, sf_dir):
-    """Rows-only check: NER over initcap'd text (the synthetic docs are
-    lowercase; initcap makes every token a candidate so the BIO path is
-    exercised for real)."""
+    """NER over initcap'd text (the synthetic docs are lowercase; initcap
+    makes multi-char tokens candidates so the BIO path is exercised for
+    real). Oracle: the hash backend's gazetteer+BIO arithmetic expressed
+    as DuckDB SQL (tokenize via split + prefix-sum offsets, gazetteer
+    CASE, gaps-and-islands BIO grouping) — exact value parity."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     capped = docs.select("doc_id", F.initcap(F.col("text")).alias("text"))
     return ner(capped, backend="hash").select("doc_id", "entity_group", "word", "start", "end")
+
+
+def _ner_sql() -> str:
+    """DuckDB replica of HashBackend.token_classify + group_entities
+    (hash_backend.py:117-142, kernels.py:76-120; reference BIO semantics
+    pipelines.rb:192-225). Valid because the synthetic documents are
+    single-space-separated lowercase words (verified for all sf dirs), so
+    the \\w+|[^\\w\\s] tokenizer reduces to split-on-space and offsets to
+    a prefix sum of word lengths."""
+    from informers_spark.backend.hash_backend import _LOC, _ORG, _PER
+
+    per = ", ".join(repr(w) for w in sorted(_PER))
+    org = ", ".join(repr(w) for w in sorted(_ORG))
+    loc = ", ".join(repr(w) for w in sorted(_LOC))
+    return f"""
+WITH raw AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 50
+),
+toks0 AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM raw
+),
+capped AS (
+  -- initcap per word + token start offset = prefix sum of (len + 1 separator)
+  SELECT doc_id, i,
+         upper(substr(w, 1, 1)) || lower(substr(w, 2)) AS word,
+         COALESCE(SUM(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start0
+  FROM toks0
+),
+toks AS (
+  SELECT doc_id, i, word,
+         start0::INTEGER AS start, (start0 + length(word))::INTEGER AS "end",
+         regexp_matches(word, '^[A-Z][a-z]+$') AS is_ent
+  FROM capped WHERE length(word) > 0
+),
+tagged AS (
+  SELECT doc_id, i, word, start, "end", is_ent,
+         CASE WHEN lower(word) IN ({per}) THEN 'PER'
+              WHEN lower(word) IN ({org}) THEN 'ORG'
+              WHEN lower(word) IN ({loc}) THEN 'LOC'
+              ELSE 'MISC' END AS tag,
+         COALESCE(LAG(is_ent) OVER (PARTITION BY doc_id ORDER BY i), false) AS prev_ent
+  FROM toks
+),
+ents AS (
+  -- B when the previous token (in full token order) was not an entity
+  SELECT doc_id, i, word, start, "end", tag,
+         CASE WHEN prev_ent THEN 'I' ELSE 'B' END AS prefix
+  FROM tagged WHERE is_ent
+),
+marks AS (
+  -- group_entities: new group iff prefix='B' or the tag changes vs the
+  -- previous KEPT token (kernels.py:111-118)
+  SELECT *, CASE WHEN prefix = 'B'
+                   OR tag IS DISTINCT FROM LAG(tag) OVER (PARTITION BY doc_id ORDER BY i)
+                 THEN 1 ELSE 0 END AS new_grp
+  FROM ents
+),
+grouped AS (
+  SELECT *, SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM marks
+)
+SELECT doc_id, MIN(tag) AS entity_group, string_agg(word, ' ' ORDER BY i) AS word,
+       MIN(start) AS start, MAX("end") AS "end"
+FROM grouped GROUP BY doc_id, grp
+ORDER BY doc_id, start
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -989,6 +1078,19 @@ ORACLE_SQL = {
     "q_classify_docs": _classify_sql(),
     "q_zero_shot_docs": _zero_shot_sql(),
     "q_rerank_docs": _rerank_sql(),
-    # q_embed_docs / q_ner_docs: deterministic-backend inference — not
-    # SQL-expressible; driver records rows-only checks.
+    "q_ner_docs": _ner_sql(),
+    # q_qa_docs / q_fill_mask_docs / q_embed_docs / q_embed_binary_docs:
+    # md5-seeded deterministic-backend inference — not SQL-expressible;
+    # oracles are frozen parquet fixtures (tools/freeze_fixtures.py),
+    # wired below.
 }
+
+# Fixture oracles: queries whose values depend on md5-seeded vectors
+# (not expressible in SQL). tools/freeze_fixtures.py materializes the
+# Spark output at the driver's gate sf (0.01) into committed parquet;
+# tests/test_frozen_fixtures.py re-runs the queries and asserts equality,
+# so a silent semantics change breaks CI before it breaks the driver.
+FIXTURE_DIR = "/root/repo/tests/fixtures"
+FIXTURE_QUERIES = ["q_embed_docs", "q_embed_binary_docs", "q_qa_docs", "q_fill_mask_docs"]
+for _fq in FIXTURE_QUERIES:
+    ORACLE_SQL[_fq] = f"SELECT * FROM '{FIXTURE_DIR}/{_fq}.parquet'"
