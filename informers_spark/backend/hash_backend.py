@@ -164,41 +164,50 @@ class HashBackend:
         return logits, {"contradiction": 0, "neutral": 1, "entailment": 2}
 
     # --- QA path -------------------------------------------------------------
-    def qa_logits(self, question: str, context: str, toks):
-        """Start/end logits over context tokens: tokens overlapping the
-        question score high; runs of matches favor start at run-begin and
-        end at run-end (gives multi-token answers)."""
-        qt = {t.lower() for t, _, _ in tokenize_with_offsets(question)} - _STOP
-        n = len(toks)
-        start = np.zeros(n, dtype=np.float32)
-        end = np.zeros(n, dtype=np.float32)
-        match = [t.lower() in qt for t, _, _ in toks]
-        for j in range(n):
-            if match[j]:
-                start[j] = 4.0 + (2.0 if j == 0 or not match[j - 1] else 0.0)
-                end[j] = 4.0 + (2.0 if j == n - 1 or not match[j + 1] else 0.0)
-        return start, end
+    def qa_batch(self, questions: list[str], contexts: list[str]):
+        """Batched QA scoring: ONE call per Arrow batch (no per-row backend
+        calls). → list of (start_logits, end_logits, ctx_offsets) per row,
+        logits aligned to the backend's OWN tokenization of the context
+        (the ONNX twin masks question/special positions the same way,
+        mirroring the reference's sep_index filter, pipelines.rb:241-253).
+
+        Heuristic: context tokens overlapping the question score high;
+        runs of matches favor start at run-begin and end at run-end
+        (gives multi-token answers)."""
+        out = []
+        for question, context in zip(questions, contexts):
+            toks = tokenize_with_offsets(context)[: self.max_tokens]
+            qt = {t.lower() for t, _, _ in tokenize_with_offsets(question)} - _STOP
+            n = len(toks)
+            start = np.zeros(n, dtype=np.float32)
+            end = np.zeros(n, dtype=np.float32)
+            match = [t.lower() in qt for t, _, _ in toks]
+            for j in range(n):
+                if match[j]:
+                    start[j] = 4.0 + (2.0 if j == 0 or not match[j - 1] else 0.0)
+                    end[j] = 4.0 + (2.0 if j == n - 1 or not match[j + 1] else 0.0)
+            out.append((start, end, toks))
+        return out
 
     # --- fill-mask path --------------------------------------------------------
     MASK_VOCAB = sorted(_PER | _ORG | _LOC | _POSITIVE | _NEGATIVE | {"language", "capital", "code"})
 
-    def mask_logits(self, text: str, mask_token: str):
-        """Vocab logits at the mask position: cosine of each vocab token's
-        vector against the mean of the unmasked context tokens."""
-        ctx = [t for t, _, _ in tokenize_with_offsets(text.replace(mask_token, " "))]
-        ctx = [t for t in ctx if t.lower() not in _STOP]
-        if ctx:
-            mean = np.mean([self._vec(t) for t in ctx], axis=0)
-            mean = mean / (np.linalg.norm(mean) + 1e-9)
-        else:
-            mean = np.zeros(self.dim, dtype=np.float32)
-        logits = np.array(
-            [
-                8.0 * float(np.dot(mean, self._vec(w) / np.linalg.norm(self._vec(w))))
-                for w in self.MASK_VOCAB
-            ],
-            dtype=np.float32,
-        )
+    def mask_batch(self, texts: list[str], mask_token: str):
+        """Batched fill-mask: vocab logits at the mask position for every
+        row in ONE call — (vocab, logits [b, V]). Logit = cosine of each
+        vocab token's vector against the mean of the unmasked context
+        tokens, computed as one [b, dim] @ [dim, V] matmul per batch."""
+        vocab_mat = np.stack(
+            [self._vec(w) / np.linalg.norm(self._vec(w)) for w in self.MASK_VOCAB]
+        )  # [V, dim]
+        means = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, text in enumerate(texts):
+            ctx = [t for t, _, _ in tokenize_with_offsets(text.replace(mask_token, " "))]
+            ctx = [t for t in ctx if t.lower() not in _STOP]
+            if ctx:
+                mean = np.mean([self._vec(t) for t in ctx], axis=0)
+                means[i] = mean / (np.linalg.norm(mean) + 1e-9)
+        logits = (8.0 * (means @ vocab_mat.T)).astype(np.float32)  # [b, V]
         return list(self.MASK_VOCAB), logits
 
     # --- reranking path ------------------------------------------------------

@@ -1,0 +1,39 @@
+"""Model config.json parsing — the config-driven dispatch the reference
+does in AutoConfig / the Auto* registries (reference:
+lib/informers/configs.rb:19-42, lib/informers/models.rb:1223-1495).
+
+Separate from onnx_backend so it imports (and unit-tests) without the
+onnxruntime wheel.
+"""
+
+from __future__ import annotations
+
+# model_type → architecture family, distilled from the reference's
+# MODEL_CLASS_MAPPINGS (models.rb:1223-1495). v1 loads encoder-only
+# sessions; the map documents which model types that covers and lets
+# from_pretrained fail loudly on decoder/seq2seq checkpoints instead of
+# feeding them a wrong session layout.
+ENCODER_ONLY_MODEL_TYPES = {
+    "bert", "albert", "camembert", "convbert", "deberta", "deberta-v2",
+    "distilbert", "electra", "roberta", "xlm", "xlm-roberta", "mpnet",
+    "mobilebert", "nomic_bert", "roformer", "squeezebert", "mpt",
+}
+SEQ2SEQ_MODEL_TYPES = {"t5", "mt5", "bart", "mbart", "marian", "m2m_100", "nllb"}
+DECODER_ONLY_MODEL_TYPES = {"gpt2", "gptj", "gpt_neo", "gpt_neox", "llama", "mistral", "qwen2"}
+
+
+def parse_model_config(config: dict) -> dict:
+    """→ {model_type, id2label (index-ordered list | None), label2id}.
+
+    JSON id2label keys are strings ("0", "1", …); order by integer index,
+    never lexicographically (">9 labels" would interleave otherwise).
+    """
+    id2label = config.get("id2label")
+    labels = None
+    if id2label:
+        labels = [id2label[k] for k in sorted(id2label, key=lambda s: int(s))]
+    return {
+        "model_type": config.get("model_type"),
+        "id2label": labels,
+        "label2id": config.get("label2id") or {},
+    }

@@ -17,12 +17,15 @@ or a shared mount; $INFORMERS_SPARK_MODEL_DIR points at it.
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
 
 import onnxruntime as ort  # noqa: F401  (import-guarded by caller)
 from tokenizers import Tokenizer  # noqa: F401
+
+from informers_spark.backend.model_config import parse_model_config
 
 
 class OnnxBackend:
@@ -48,6 +51,26 @@ class OnnxBackend:
         self.tokenizer.enable_truncation(max_length=max_tokens)
         self.dim = int(self.session.get_outputs()[0].shape[-1])
         self._input_names = {i.name for i in self.session.get_inputs()}
+        # config-driven labels (reference: configs.rb:19-42); without this
+        # classify/ner would emit stringified int labels
+        self.model_type, self.id2label, self.label2id = None, None, {}
+        cfg_path = os.path.join(model_dir, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                parsed = parse_model_config(json.load(f))
+            self.model_type = parsed["model_type"]
+            self.id2label = parsed["id2label"]
+            self.label2id = parsed["label2id"]
+        self._decode_cache: dict[int, str] = {}
+
+    def _id_to_str(self, tid: int) -> str:
+        """Cached single-token decode (replaces the per-call decode loop —
+        vocabularies are small relative to corpus token volume)."""
+        s = self._decode_cache.get(tid)
+        if s is None:
+            s = self.tokenizer.decode([tid], skip_special_tokens=False)
+            self._decode_cache[tid] = s
+        return s
 
     def _run(self, encodings, output_names=None):
         feed = {}
@@ -72,15 +95,13 @@ class OnnxBackend:
     def token_classify(self, texts: list[str]):
         enc = self.tokenizer.encode_batch(texts)
         outs, _ = self._run(enc)
-        id2label = getattr(self, "id2label", None) or [
-            str(i) for i in range(outs[0].shape[-1])
-        ]
+        id2label = self.id2label or [str(i) for i in range(outs[0].shape[-1])]
         logits, offsets = [], []
         for i, e in enumerate(enc):
             n = sum(e.attention_mask)
             logits.append(outs[0][i, :n].astype(np.float32))
             offsets.append(
-                [(self.tokenizer.decode([tid]), s, t)
+                [(self._id_to_str(tid), s, t)
                  for tid, (s, t) in zip(e.ids[:n], e.offsets[:n])]
             )
         return logits, offsets, id2label
@@ -88,15 +109,20 @@ class OnnxBackend:
     def classify(self, texts: list[str]):
         enc = self.tokenizer.encode_batch(texts)
         outs, _ = self._run(enc)
-        id2label = getattr(self, "id2label", None) or [
-            str(i) for i in range(outs[0].shape[-1])
-        ]
+        id2label = self.id2label or [str(i) for i in range(outs[0].shape[-1])]
         return outs[0].astype(np.float32), id2label
 
     def classify_pairs(self, texts: list[str], pairs: list[str]):
         enc = self.tokenizer.encode_batch(list(zip(texts, pairs)))
         outs, _ = self._run(enc)
-        label2id = getattr(self, "label2id", {"contradiction": 0, "entailment": 2})
+        # entailment/contradiction ids from the model config when present,
+        # with the reference's 2/0 fallback (pipelines.rb:424-437)
+        l2i = {k.lower(): v for k, v in self.label2id.items()}
+        label2id = {
+            "contradiction": l2i.get("contradiction", l2i.get("not_entailment", 0)),
+            "neutral": l2i.get("neutral", 1),
+            "entailment": l2i.get("entailment", 2),
+        }
         return outs[0].astype(np.float32), label2id
 
     def rerank(self, queries: list[str], docs: list[str]) -> np.ndarray:
@@ -104,27 +130,45 @@ class OnnxBackend:
         outs, _ = self._run(enc)
         return outs[0][:, 0].astype(np.float32)
 
-    def qa_logits(self, question: str, context: str, toks):
-        """QA models emit (start_logits, end_logits)
-        (reference: lib/informers/models.rb:1541-1549)."""
-        enc = self.tokenizer.encode_batch([(question, context)])
+    def qa_batch(self, questions: list[str], contexts: list[str]):
+        """Batched QA: ONE encode_batch + ONE session.run per Arrow batch
+        (QA models emit start/end logits, reference models.rb:1541-1549).
+
+        Logits are sliced to the CONTEXT positions of the model's own
+        subword tokenization (sequence_id == 1), mirroring the reference's
+        "positions past sep_token" filter (pipelines.rb:241-253) — so the
+        returned offsets index into the context string and spans can never
+        land on question/special tokens. → list of
+        (start_logits, end_logits, ctx_offsets[(word, s, e)]) per row."""
+        enc = self.tokenizer.encode_batch(list(zip(questions, contexts)))
         outs, _ = self._run(enc)
         if len(outs) < 2:
             raise RuntimeError("staged model does not expose start/end logits")
-        n = sum(enc[0].attention_mask)
-        return outs[0][0, :n].astype(np.float32), outs[1][0, :n].astype(np.float32)
+        result = []
+        for i, e in enumerate(enc):
+            ctx_pos = [j for j, sid in enumerate(e.sequence_ids) if sid == 1]
+            start = outs[0][i, ctx_pos].astype(np.float32)
+            end = outs[1][i, ctx_pos].astype(np.float32)
+            toks = [
+                (self._id_to_str(e.ids[j]), e.offsets[j][0], e.offsets[j][1])
+                for j in ctx_pos
+            ]
+            result.append((start, end, toks))
+        return result
 
-    def mask_logits(self, text: str, mask_token: str):
-        """MaskedLM vocab logits at the mask position
-        (reference: lib/informers/models.rb:1532-1539,
-        pipelines.rb:289-296)."""
-        enc = self.tokenizer.encode_batch([text])
-        ids = enc[0].ids
+    def mask_batch(self, texts: list[str], mask_token: str):
+        """Batched fill-mask: vocab logits at each row's mask position
+        (reference: lib/informers/models.rb:1532-1539, pipelines.rb:289-296).
+        One forward per Arrow batch; raises when a row lacks the mask
+        token, matching pipelines.rb:289-291. → (vocab, logits [b, V])."""
+        enc = self.tokenizer.encode_batch(texts)
         mask_id = self.tokenizer.token_to_id(mask_token)
-        if mask_id is None or mask_id not in ids:
-            raise ValueError("Mask token not found in text")
+        positions = []
+        for e in enc:
+            if mask_id is None or mask_id not in e.ids:
+                raise ValueError("Mask token not found in text")
+            positions.append(e.ids.index(mask_id))
         outs, _ = self._run(enc)
-        pos = ids.index(mask_id)
-        logits = outs[0][0, pos].astype(np.float32)
-        vocab = [self.tokenizer.id_to_token(i) or "" for i in range(len(logits))]
+        logits = outs[0][np.arange(len(enc)), positions].astype(np.float32)  # [b, V]
+        vocab = [self.tokenizer.id_to_token(i) or "" for i in range(logits.shape[-1])]
         return vocab, logits

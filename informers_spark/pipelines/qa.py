@@ -10,10 +10,12 @@ fill_mask (reference: lib/informers/pipelines.rb:280-312): locate the
 mask token (error if absent) → softmax over vocab at that position →
 top-5 (token, score, filled sequence).
 
-Backends provide the logits; the deterministic hash backend scores
-context tokens by question-token overlap (QA) and a fixed mini-vocab by
-embedding cosine (fill-mask), so post-processing semantics are exercised
-for real offline.
+Batching contract: ONE backend call per Arrow batch (`qa_batch` /
+`mask_batch`) — the backend owns tokenization, so logits come back
+aligned to ITS offsets (the ONNX path slices to context sequence_ids,
+mirroring the reference's sep_index filter). No per-row backend calls,
+no pandas .iloc row loops; only the inherently per-row start×end
+candidate scan runs rowwise, in numpy, like the reference.
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ def question_answering(
     question_col: str = "question",
     context_col: str = "context",
     top_k: int = 1,
+    max_answer_tokens: int = 15,
     backend: str = "auto",
     backend_opts: dict | None = None,
 ) -> DataFrame:
@@ -52,32 +55,41 @@ def question_answering(
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from informers_spark.backend.base import get_backend
-        from informers_spark.backend.hash_backend import tokenize_with_offsets
 
         be = get_backend(backend, **opts)
         for pdf in batches:
+            questions = pdf[question_col].fillna("").astype(str).tolist()
+            contexts = pdf[context_col].fillna("").astype(str).tolist()
             src_idx, answers, scores, starts, ends = [], [], [], [], []
-            for row_i in range(len(pdf)):
-                question = str(pdf.iloc[row_i][question_col] or "")
-                context = str(pdf.iloc[row_i][context_col] or "")
-                toks = tokenize_with_offsets(context)
-                if not toks:
+            scored = be.qa_batch(questions, contexts) if len(pdf) else []
+            for row_i, (context, (start_logits, end_logits, toks)) in enumerate(
+                zip(contexts, scored)
+            ):
+                n = len(toks)
+                if n == 0:
                     continue
-                start_logits, end_logits = be.qa_logits(question, context, toks)
                 p_start = softmax(start_logits)
                 p_end = softmax(end_logits)
-                # cartesian start×end, start<=end, window cap like HF
-                cands = []
-                n = len(toks)
-                for s in range(n):
-                    for e in range(s, min(s + 15, n)):
-                        cands.append((float(p_start[s] * p_end[e]), s, e))
-                cands.sort(key=lambda x: (-x[0], x[1], x[2]))
-                for score, s, e in cands[:top_k]:
+                # cartesian start×end (start<=end, window-capped like the
+                # reference/HF) as one [n, w] outer product — argsorted
+                # flat, no Python double loop
+                w = min(max_answer_tokens, n)
+                # vectorized banded product: cand[s, d] = p_start[s] * p_end[s+d]
+                pe_pad = np.concatenate([p_end, np.zeros(w, dtype=p_end.dtype)])
+                band = np.stack([pe_pad[d : d + n] for d in range(w)], axis=1)  # [n, w]
+                cand = p_start[:, None] * band
+                valid = (np.arange(n)[:, None] + np.arange(w)[None, :]) < n
+                cand = np.where(valid, cand, -1.0)
+                flat_order = np.argsort(-cand, axis=None, kind="stable")[:top_k]
+                for fo in flat_order:
+                    s, d = divmod(int(fo), w)
+                    if cand[s, d] < 0:
+                        continue
+                    e = s + d
                     cs, ce = toks[s][1], toks[e][2]
                     src_idx.append(row_i)
                     answers.append(context[cs:ce])
-                    scores.append(np.float32(score))
+                    scores.append(np.float32(cand[s, d]))
                     starts.append(np.int32(cs))
                     ends.append(np.int32(ce))
             out = pdf.take(src_idx)[in_cols].reset_index(drop=True)
@@ -118,18 +130,19 @@ def fill_mask(
         be = get_backend(backend, **opts)
         for pdf in batches:
             src_idx, toks_out, scores, seqs = [], [], [], []
-            for row_i in range(len(pdf)):
-                text = str(pdf.iloc[row_i][text_col] or "")
-                if mask_token not in text:
+            if len(pdf):
+                texts = pdf[text_col].fillna("").astype(str).tolist()
+                if any(mask_token not in t for t in texts):
                     raise ValueError("Mask token not found in text")
-                vocab, logits = be.mask_logits(text, mask_token)
-                probs = softmax(logits)
-                order = np.argsort(-probs, kind="stable")[:top_k]
-                for j in order:
-                    src_idx.append(row_i)
-                    toks_out.append(vocab[j])
-                    scores.append(np.float32(probs[j]))
-                    seqs.append(text.replace(mask_token, vocab[j]))
+                vocab, logits = be.mask_batch(texts, mask_token)  # [b, V]
+                probs = softmax(logits, axis=-1)
+                order = np.argsort(-probs, axis=-1, kind="stable")[:, :top_k]
+                for row_i, text in enumerate(texts):
+                    for j in order[row_i]:
+                        src_idx.append(row_i)
+                        toks_out.append(vocab[j])
+                        scores.append(np.float32(probs[row_i, j]))
+                        seqs.append(text.replace(mask_token, vocab[j]))
             out = pdf.take(src_idx)[in_cols].reset_index(drop=True)
             out["token_str"] = pd.Series(toks_out, dtype=object)
             out["fm_score"] = np.asarray(scores, dtype=np.float32)
