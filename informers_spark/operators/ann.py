@@ -66,29 +66,93 @@ def knn_bruteforce(
     )
 
 
+def banded_buckets(
+    vec: Column, bands: int = 4, planes_per_band: int = 8, dim: int = 64
+) -> Column:
+    """Multi-table (banded) hyperplane LSH: band t hashes with planes
+    [t·r, (t+1)·r) — OR-amplification, so near-neighbors that disagree on
+    one plane of one table still collide in another. Band 0 with r=8 is
+    bit-identical to hyperplane_bucket(vec, 8) (same global plane weights).
+    → array<struct<band:int, bucket:bigint>>; explode to block on
+    (band, bucket)."""
+    w = plane_weights(bands * planes_per_band, dim)
+    entries = []
+    for t in range(bands):
+        bucket = F.lit(0).cast("long")
+        for i in range(planes_per_band):
+            g = t * planes_per_band + i
+            dot_i = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x).cast("double") for x in w[g]]),
+                    lambda v, p: v.cast("double") * p,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(dot_i > 0, F.lit(2**i)).otherwise(F.lit(0)).cast("long")
+        entries.append(
+            F.struct(F.lit(t).cast("int").alias("band"), bucket.alias("bucket"))
+        )
+    return F.array(*entries)
+
+
+def _banded_blocks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    bands: int,
+    planes_per_band: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """(id, band, bucket) blocking table with the window-count skew guard:
+    any (band, bucket) cell above max_bucket is dropped BEFORE any
+    self-join touches it — a dense embedding region can never go quadratic
+    (the same guard minhash_pairs uses, dedup.py)."""
+    blocks = df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(banded_buckets(F.col(vec_col), bands, planes_per_band)).alias("bk"),
+    ).select(out_id, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    if max_bucket:
+        blocks = (
+            blocks.withColumn(
+                "_bn", F.count("*").over(Window.partitionBy("band", "bucket"))
+            )
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    return blocks
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 8,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
-    """Approximate top-k: score only within the query's LSH bucket —
-    the candidate join is an equi-join on bucket, not a cross join."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    """Approximate top-k with banded (multi-probe) LSH: candidates =
+    corpus rows sharing ANY band's bucket with the query (equi-join on
+    (band, bucket), never a cross join), deduped, then cosine-scored.
+    OR-amplification over `bands` tables fixes the single-table recall
+    collapse; max_bucket caps any hot cell before the join."""
+    c = _banded_blocks(corpus, id_col, vec_col, "neighbor_id", bands, planes_per_band, max_bucket)
+    q = _banded_blocks(queries, id_col, vec_col, "query_id", bands, planes_per_band, None)
+    cand = (
+        c.join(F.broadcast(q), ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
         .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -125,26 +125,35 @@ def embedding_neardup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
-    n_planes: int = 8,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    max_bucket: int = 200,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by hyperplane-sign
-    LSH buckets (only same-bucket pairs scored). → (a, b, cos_sim)."""
-    from informers_spark.operators.ann import hyperplane_bucket
+    """Embedding-cosine near-duplicate pairs, blocked by BANDED
+    hyperplane-sign LSH (bands tables × planes_per_band planes,
+    OR-amplified — a near-pair that differs on one plane sign in one
+    table still collides in another). → (a, b, cos_sim).
 
-    with_bucket = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
-    )
-    a, b = with_bucket.alias("a"), with_bucket.alias("b")
-    return (
-        a.join(b, "bucket")
+    Scale shape: the self-join is an equi-join on (band, bucket); the
+    window-count guard drops any cell above max_bucket BEFORE the join,
+    so a dense embedding region (the 100-TB failure mode of single-table
+    LSH) can never go quadratic. Vectors are re-attached to the deduped
+    id pairs, so the blocking shuffle carries only (id, band, bucket)."""
+    from informers_spark.operators.ann import _banded_blocks
+
+    blocks = _banded_blocks(df, id_col, vec_col, "id", bands, planes_per_band, max_bucket)
+    a, b = blocks.alias("a"), blocks.alias("b")
+    id_pairs = (
+        a.join(b, ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .withColumn("cos_sim", cosine(F.col("a.v"), F.col("b.v")))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return (
+        id_pairs.join(vecs.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
+        .join(vecs.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
+        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos_sim") >= threshold)
-        .select(
-            F.col("a.id").alias("a"),
-            F.col("b.id").alias("b"),
-            F.round("cos_sim", 6).alias("cos_sim"),
-        )
+        .select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
     )

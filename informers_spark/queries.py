@@ -662,21 +662,94 @@ GROUP BY label, dim ORDER BY label, dim
 """
 
 
+def _band_bucket_sql(vec: str, band: int, r: int = 8, bands: int = 4) -> str:
+    """One band's bucket expression, from the SAME plane weights as
+    ann.banded_buckets (global plane index = band*r + i)."""
+    w = ann.plane_weights(bands * r, 64)
+    parts = []
+    for i in range(r):
+        weights = "[" + ", ".join(str(x) for x in w[band * r + i]) + "]"
+        dot = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(generate_series(1, 64), j -> {vec}[j]::DOUBLE * ({weights}::BIGINT[])[j]::DOUBLE)), (x, y) -> x + y)"
+        )
+        parts.append(f"CASE WHEN {dot} > 0 THEN {2**i}::BIGINT ELSE 0::BIGINT END")
+    return "(" + " + ".join(parts) + ")"
+
+
+def _banded_blocks_sql(max_bucket: int | None, bands: int = 4, where: str = "") -> str:
+    """(id, band, bucket) banded blocking CTE body mirroring
+    ann._banded_blocks, including the window-count skew guard."""
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id AS id, {t} AS band, {_band_bucket_sql('embedding', t, bands=bands)} AS bucket "
+        f"FROM embeddings {where}"
+        for t in range(bands)
+    )
+    guard = (
+        f" QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {max_bucket}"
+        if max_bucket
+        else ""
+    )
+    return f"SELECT * FROM ({unions}){guard}"
+
+
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, LSH-blocked (only same
-    hyperplane-bucket pairs scored)."""
+    """Embedding-cosine near-duplicate pairs, blocked by banded
+    multi-table hyperplane LSH with the max_bucket skew guard (the
+    100-TB-safe path: OR-amplified candidate gen, no unguarded
+    self-join)."""
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup(emb, threshold=0.3).orderBy("a", "b")
 
 
 def _embedding_neardup_sql() -> str:
     return f"""
-WITH b AS (SELECT vec_id AS id, embedding AS v, {_bucket_sql('embedding')} AS bucket FROM embeddings)
-SELECT x.id AS a, y.id AS b,
-       ROUND({_DUCK_DOT.format(A="x.v", B="y.v")} / ({_DUCK_NORM.format(A="x.v")} * {_DUCK_NORM.format(A="y.v")}), 6) AS cos_sim
-FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
-WHERE {_DUCK_DOT.format(A="x.v", B="y.v")} / ({_DUCK_NORM.format(A="x.v")} * {_DUCK_NORM.format(A="y.v")}) >= 0.3
+WITH blocks AS ({_banded_blocks_sql(max_bucket=200)}),
+pairs AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM blocks x JOIN blocks y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+),
+v AS (SELECT vec_id AS id, embedding AS vv FROM embeddings)
+SELECT a, b,
+       ROUND({_DUCK_DOT.format(A="x.vv", B="y.vv")} / ({_DUCK_NORM.format(A="x.vv")} * {_DUCK_NORM.format(A="y.vv")}), 6) AS cos_sim
+FROM pairs JOIN v x ON x.id = a JOIN v y ON y.id = b
+WHERE {_DUCK_DOT.format(A="x.vv", B="y.vv")} / ({_DUCK_NORM.format(A="x.vv")} * {_DUCK_NORM.format(A="y.vv")}) >= 0.3
 ORDER BY a, b
+"""
+
+
+def q_knn_lsh(spark, sf_dir):
+    """Approximate top-k via banded LSH candidate generation (equi-join on
+    (band, bucket), OR-amplified over 4 tables) — the scale path whose
+    recall is asserted against q_knn_bruteforce in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.knn_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _knn_lsh_sql() -> str:
+    return f"""
+WITH cblocks AS ({_banded_blocks_sql(max_bucket=10000)}),
+qblocks AS ({_banded_blocks_sql(max_bucket=None, where="WHERE vec_id < 10")}),
+cand AS (
+  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+  FROM cblocks c JOIN qblocks q ON c.band = q.band AND c.bucket = q.bucket
+  WHERE c.id <> q.id
+),
+v AS (SELECT vec_id AS id, embedding AS vv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DUCK_DOT.format(A="q.vv", B="c.vv")} / ({_DUCK_NORM.format(A="q.vv")} * {_DUCK_NORM.format(A="c.vv")}) AS cs
+  FROM cand JOIN v q ON q.id = query_id JOIN v c ON c.id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cs, 6) AS cos_sim FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
 """
 
 
@@ -1030,6 +1103,7 @@ QUERIES = {
     "q_simhash": q_simhash,
     "q_jaccard_sample": q_jaccard_sample,
     "q_knn_bruteforce": q_knn_bruteforce,
+    "q_knn_lsh": q_knn_lsh,
     "q_lsh_buckets": q_lsh_buckets,
     "q_centroids": q_centroids,
     "q_embedding_neardup": q_embedding_neardup,
@@ -1070,6 +1144,7 @@ ORACLE_SQL = {
     "q_simhash": _simhash_sql(),
     "q_jaccard_sample": _jaccard_sample_sql(),
     "q_knn_bruteforce": Q_KNN_SQL,
+    "q_knn_lsh": _knn_lsh_sql(),
     "q_lsh_buckets": _lsh_buckets_sql(),
     "q_centroids": Q_CENTROIDS_SQL,
     "q_embedding_neardup": _embedding_neardup_sql(),

@@ -100,3 +100,50 @@ def test_knn_finds_identical_vector(spark):
     # patch dim-64 assumption: cosine works on any length
     out = knn_bruteforce(df, df.filter(F.col("vec_id") == 0), k=1).collect()
     assert out[0].neighbor_id == 1 and out[0].rank == 1
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark):
+    """Banded LSH must recover most true neighbors, and recall must RISE
+    with band count (OR-amplification) — guards against the single-table
+    recall collapse. The sandbox embeddings are near-random (top-5 cosine
+    ~0.32, the LSH worst case), so the recall-tuned config here uses more,
+    shorter bands than the production default (which targets real
+    near-dup data at cosine >= 0.9)."""
+    from pyspark.sql import functions as F
+
+    from informers_spark.operators import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = {(r.query_id, r.neighbor_id) for r in ann.knn_bruteforce(emb, q, k=5).collect()}
+
+    def recall(bands, r):
+        got = {
+            (row.query_id, row.neighbor_id)
+            for row in ann.knn_lsh(emb, q, k=5, bands=bands, planes_per_band=r).collect()
+        }
+        return len(bf & got) / len(bf)
+
+    r1, r8, r16 = recall(1, 4), recall(8, 4), recall(16, 4)
+    assert r8 >= 0.6  # measured 0.72 with the deterministic planes
+    assert r16 >= r8 > r1  # more tables -> more recall
+
+
+def test_embedding_neardup_guard_caps_buckets(spark):
+    """The max_bucket window guard must bound candidate pairs even when
+    every vector lands in one cell (all-identical vectors = the dense
+    region that makes unguarded LSH quadratic)."""
+    from pyspark.sql import functions as F
+
+    from informers_spark.operators.dedup import embedding_neardup
+
+    n = 300
+    one = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(j % 7) + 1.0) for j in range(64)]).alias("embedding"),
+    )
+    # guard off (max_bucket > n): all pairs collide -> n*(n-1)/2
+    full = embedding_neardup(one, threshold=0.0, max_bucket=n + 1).count()
+    assert full == n * (n - 1) // 2
+    # guard on: the hot cell is dropped entirely -> zero quadratic work
+    assert embedding_neardup(one, threshold=0.0, max_bucket=200).count() == 0
