@@ -18,6 +18,7 @@ from functools import partial
 
 from informers_spark.pipelines.classify import classify, zero_shot
 from informers_spark.pipelines.embed import embed
+from informers_spark.pipelines.generate import generate_text, summarize, translate
 from informers_spark.pipelines.ner import ner
 from informers_spark.pipelines.qa import fill_mask, question_answering
 from informers_spark.pipelines.rerank import rerank
@@ -40,14 +41,15 @@ SUPPORTED_TASKS = {
     # embedding defaults: pooling mean + normalize (pipelines.rb:1042-1051)
     "embedding": partial(embed, pooling="mean", do_normalize=True),
     "reranking": rerank,
+    # greedy-decode generation v1 (pipelines.rb:314-418; loop models.rb:214-349)
+    "text2text-generation": generate_text,
+    "summarization": summarize,
+    "translation": translate,
+    "text-generation": partial(generate_text, return_full_text=True),
 }
 
 _OUT_OF_SCOPE = {
     # task name → reference location of the upstream implementation
-    "text2text-generation": "pipelines.rb:314-354 (generation; SURVEY.md §7.6)",
-    "summarization": "pipelines.rb:356-358",
-    "translation": "pipelines.rb:360-362",
-    "text-generation": "pipelines.rb:364-418",
     "image-classification": "pipelines.rb:520-548 (vision)",
     "image-segmentation": "pipelines.rb:551-625",
     "object-detection": "pipelines.rb:671-704",

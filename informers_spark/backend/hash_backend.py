@@ -210,6 +210,33 @@ class HashBackend:
         logits = (8.0 * (means @ vocab_mat.T)).astype(np.float32)  # [b, V]
         return list(self.MASK_VOCAB), logits
 
+    # --- generation path -------------------------------------------------------
+    # deterministic decoder vocab; the LAST entry is EOS (</s>), matching
+    # the T5-style convention the reference's seq2seq path assumes
+    GEN_VOCAB = sorted(_PER | _ORG | _LOC | _POSITIVE | _NEGATIVE | {"language", "capital", "code"}) + ["</s>"]
+
+    def next_logits(self, contexts: list[str], generated: list[list[str]]):
+        """One greedy-decode step for the whole batch: next-token logits =
+        cosine of each vocab vector against the mean of (context tokens +
+        tokens generated so far), as one [b, dim] @ [dim, V] matmul, plus
+        an EOS logit that grows with the generated length (sequences
+        terminate deterministically). Stands in for decoder_forward
+        (reference: lib/informers/models.rb:665-689) offline."""
+        words = self.GEN_VOCAB[:-1]
+        vocab_mat = np.stack([self._vec(w) / np.linalg.norm(self._vec(w)) for w in words])
+        means = np.zeros((len(contexts), self.dim), dtype=np.float32)
+        for i, (ctx, gen) in enumerate(zip(contexts, generated)):
+            toks = [t for t, _, _ in tokenize_with_offsets(ctx)[: self.max_tokens]
+                    if t.lower() not in _STOP] + list(gen)
+            if toks:
+                mean = np.mean([self._vec(t) for t in toks], axis=0)
+                means[i] = mean / (np.linalg.norm(mean) + 1e-9)
+        word_logits = (8.0 * (means @ vocab_mat.T)).astype(np.float32)  # [b, V-1]
+        eos = np.array(
+            [-6.0 + 1.5 * len(g) for g in generated], dtype=np.float32
+        )[:, None]
+        return list(self.GEN_VOCAB), np.concatenate([word_logits, eos], axis=1)
+
     # --- reranking path ------------------------------------------------------
     def rerank(self, queries: list[str], docs: list[str]) -> np.ndarray:
         out = np.zeros(len(queries), dtype=np.float32)

@@ -1,0 +1,124 @@
+"""Greedy text-generation pipelines as DataFrame transforms.
+
+Reference dataflow (lib/informers/pipelines.rb:314-418 for
+text2text-generation / summarization / translation / text-generation;
+generate loop models.rb:214-349 with GreedySampler,
+utils/generation.rb:119-131): tokenize → loop{forward → logits[last] →
+logits processors → sample → append} until EOS or max_new_tokens →
+decode.
+
+Spark design: the decode loop runs INSIDE one mapInPandas UDF per Arrow
+batch — every live row advances together, so each step is ONE batched
+backend forward (the distributed analog of the reference's batched beam
+loop). Finished rows drop out of the step batch. No per-row backend
+calls; decoder state (generated ids) is plain Python lists scoped to the
+batch, like the reference's beam state records.
+
+The ids list starts with the decoder start token (EOS, the T5
+convention the reference's seq2seq path uses), so processor length
+semantics (ForcedBOS at len==1, MinLength) match the reference.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from informers_spark.functions.generation import build_processors, greedy_sample
+
+
+def generate_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "generated_text",
+    max_new_tokens: int = 8,
+    min_length: int = 0,
+    no_repeat_ngram_size: int = 0,
+    forced_bos_token_id: int | None = None,
+    prefix: str = "",
+    return_full_text: bool = False,
+    backend: str = "auto",
+    backend_opts: dict | None = None,
+) -> DataFrame:
+    """Append a greedy-decoded text column.
+
+    return_full_text=True prepends the prompt (text-generation semantics,
+    pipelines.rb:364-418); False returns only the new tokens
+    (text2text-generation semantics, pipelines.rb:314-354)."""
+    opts = backend_opts or {}
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.StringType())]
+    )
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from informers_spark.backend.base import get_backend
+
+        be = get_backend(backend, **opts)
+        for pdf in batches:
+            texts = pdf[text_col].fillna("").astype(str).tolist() if len(pdf) else []
+            contexts = [prefix + t for t in texts]
+            b = len(contexts)
+            vocab = list(be.GEN_VOCAB)
+            eos_id = len(vocab) - 1
+            procs = build_processors(
+                eos_token_id=eos_id,
+                min_length=min_length,
+                no_repeat_ngram_size=no_repeat_ngram_size,
+                forced_bos_token_id=forced_bos_token_id,
+            )
+            # decoder start token (T5 convention: EOS) so processor length
+            # semantics line up with the reference's seq2seq ids
+            gen_ids: list[list[int]] = [[eos_id] for _ in range(b)]
+            done = [False] * b
+            for _ in range(max_new_tokens):
+                active = [i for i in range(b) if not done[i]]
+                if not active:
+                    break
+                _, logits = be.next_logits(
+                    [contexts[i] for i in active],
+                    [[vocab[t] for t in gen_ids[i][1:]] for i in active],
+                )
+                logits = logits.astype(np.float64)
+                for j, i in enumerate(active):
+                    row = logits[j]
+                    for p in procs:
+                        row = p(gen_ids[i], row)
+                    t = greedy_sample(row)
+                    if t == eos_id:
+                        done[i] = True
+                    else:
+                        gen_ids[i].append(t)
+            decoded = [" ".join(vocab[t] for t in ids[1:]) for ids in gen_ids]
+            if return_full_text:
+                decoded = [
+                    (t + " " + d).strip() if d else t for t, d in zip(texts, decoded)
+                ]
+            out = pdf.copy()
+            out[out_col] = pd.Series(decoded, dtype=object)
+            yield out
+
+    return df.mapInPandas(infer, schema=schema)
+
+
+def summarize(df: DataFrame, text_col: str = "text", **kwargs) -> DataFrame:
+    """Summarization = text2text with the task prefix
+    (reference KEY overrides, pipelines.rb:356-362)."""
+    return generate_text(df, text_col=text_col, prefix="summarize: ", **kwargs)
+
+
+def translate(
+    df: DataFrame, text_col: str = "text", src_lang: str = "en", tgt_lang: str = "fr", **kwargs
+) -> DataFrame:
+    """Translation = text2text with the language-pair prefix
+    (reference: pipelines.rb:356-362; NLLB lang-code forcing is
+    generation-config territory, out of v1)."""
+    return generate_text(
+        df,
+        text_col=text_col,
+        prefix=f"translate {src_lang} to {tgt_lang}: ",
+        **kwargs,
+    )

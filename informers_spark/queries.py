@@ -996,6 +996,18 @@ def q_embed_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_generate_docs(spark, sf_dir):
+    """Greedy text2text generation over documents (deterministic decoder;
+    loop semantics per models.rb:214-349, GreedySampler
+    utils/generation.rb:119-131, NoRepeatNGram :191-248). Fixture oracle:
+    md5-seeded vectors are not SQL-expressible."""
+    from informers_spark.pipelines.generate import generate_text
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id", "text")
+    out = generate_text(docs, backend="hash", max_new_tokens=6, no_repeat_ngram_size=2)
+    return out.select("doc_id", "generated_text").orderBy("doc_id")
+
+
 def q_ner_docs(spark, sf_dir):
     """NER over initcap'd text (the synthetic docs are lowercase; initcap
     makes multi-char tokens candidates so the BIO path is exercised for
@@ -1109,6 +1121,7 @@ QUERIES = {
     "q_embedding_neardup": q_embedding_neardup,
     "q_range_join_events": q_range_join_events,
     "q_cc_components": q_cc_components,
+    "q_generate_docs": q_generate_docs,
     "q_classify_docs": q_classify_docs,
     "q_zero_shot_docs": q_zero_shot_docs,
     "q_rerank_docs": q_rerank_docs,
@@ -1166,6 +1179,12 @@ ORACLE_SQL = {
 # tests/test_frozen_fixtures.py re-runs the queries and asserts equality,
 # so a silent semantics change breaks CI before it breaks the driver.
 FIXTURE_DIR = "/root/repo/tests/fixtures"
-FIXTURE_QUERIES = ["q_embed_docs", "q_embed_binary_docs", "q_qa_docs", "q_fill_mask_docs"]
+FIXTURE_QUERIES = [
+    "q_embed_docs",
+    "q_embed_binary_docs",
+    "q_qa_docs",
+    "q_fill_mask_docs",
+    "q_generate_docs",
+]
 for _fq in FIXTURE_QUERIES:
     ORACLE_SQL[_fq] = f"SELECT * FROM '{FIXTURE_DIR}/{_fq}.parquet'"

@@ -42,7 +42,7 @@ def test_api_facade_task_dispatch(spark):
 
 def test_api_out_of_scope_raises():
     with pytest.raises(NotImplementedError, match="pipelines.rb"):
-        pipeline("text-generation")
+        pipeline("image-classification")
     with pytest.raises(ValueError):
         pipeline("no-such-task")
 

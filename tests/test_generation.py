@@ -1,0 +1,120 @@
+"""Generation kernels vs hand-computed values (reference semantics:
+lib/informers/utils/generation.rb) + greedy pipeline behavior."""
+
+import numpy as np
+import pytest
+
+from informers_spark.functions.generation import (
+    ForcedBOSTokenLogitsProcessor,
+    MinLengthLogitsProcessor,
+    NoRepeatNGramLogitsProcessor,
+    build_processors,
+    greedy_sample,
+)
+
+
+def test_greedy_sample_first_index_wins_ties():
+    # Utils.max returns the first max index (math.rb:110-115)
+    assert greedy_sample(np.array([1.0, 3.0, 3.0, 2.0])) == 1
+
+
+def test_no_repeat_ngram_hand_values():
+    # ids [5, 3, 5]: 2-grams seen = (5,3), (3,5); suffix of len 1 = (5,)
+    # -> banned continuation after 5 is [3]  (generation.rb:191-248)
+    p = NoRepeatNGramLogitsProcessor(2)
+    logits = np.zeros(6)
+    out = p([5, 3, 5], logits.copy())
+    assert out[3] == -np.inf
+    assert np.isfinite(out[[0, 1, 2, 4, 5]]).all()
+
+    # too short: len(ids)+1 < n -> no bans (generation.rb:231-234)
+    out = NoRepeatNGramLogitsProcessor(3)([7], logits.copy())
+    assert np.isfinite(out).all()
+
+    # 3-grams: ids [1,2,3,1,2] -> prefix (1,2) banned continuation [3]
+    out = NoRepeatNGramLogitsProcessor(3)([1, 2, 3, 1, 2], logits.copy())
+    assert out[3] == -np.inf and np.isfinite(out[4])
+
+
+def test_min_length_masks_eos_until_reached():
+    # generation.rb:250-266: eos -> -inf while len(ids) < min_length
+    p = MinLengthLogitsProcessor(3, 5)
+    logits = np.ones(6)
+    assert p([0, 1], logits.copy())[5] == -np.inf
+    assert p([0, 1, 2], logits.copy())[5] == 1.0
+    # list-valued eos ids
+    p2 = MinLengthLogitsProcessor(2, [4, 5])
+    out = p2([0], np.ones(6))
+    assert out[4] == -np.inf and out[5] == -np.inf
+
+
+def test_forced_bos_only_at_first_step():
+    # generation.rb:268-280: at len==1 everything -inf except bos (=0)
+    p = ForcedBOSTokenLogitsProcessor(2)
+    out = p([9], np.ones(4))
+    assert out[2] == 0.0 and (out[[0, 1, 3]] == -np.inf).all()
+    out = p([9, 2], np.ones(4))
+    assert (out == 1.0).all()
+
+
+def test_build_processors_wiring():
+    procs = build_processors(
+        eos_token_id=5, min_length=2, no_repeat_ngram_size=2, forced_bos_token_id=1
+    )
+    assert [type(p).__name__ for p in procs] == [
+        "NoRepeatNGramLogitsProcessor",
+        "ForcedBOSTokenLogitsProcessor",
+        "MinLengthLogitsProcessor",
+    ]
+
+
+def test_generate_text_deterministic_and_stops(spark):
+    from informers_spark.pipelines.generate import generate_text
+
+    df = spark.createDataFrame(
+        [(0, "spark is a fast framework"), (1, "the slow bug was terrible")],
+        ["id", "text"],
+    )
+    out1 = {r.id: r.generated_text for r in generate_text(df, backend="hash").collect()}
+    out2 = {r.id: r.generated_text for r in generate_text(df, backend="hash").collect()}
+    assert out1 == out2  # deterministic across runs
+    assert out1[0] != out1[1]  # context-sensitive
+    for v in out1.values():
+        assert 0 < len(v.split()) <= 8  # terminated (EOS or max_new_tokens)
+        assert "</s>" not in v
+
+
+def test_generate_min_length_and_ngram_knobs(spark):
+    from informers_spark.pipelines.generate import generate_text
+
+    df = spark.createDataFrame([(0, "hash join table")], ["id", "text"])
+    short = generate_text(df, backend="hash", max_new_tokens=3).collect()[0].generated_text
+    assert len(short.split()) <= 3
+    # min_length counts the decoder-start token, so min_length=6 forces
+    # at least 5 generated tokens
+    long = (
+        generate_text(df, backend="hash", min_length=6, max_new_tokens=10)
+        .collect()[0]
+        .generated_text
+    )
+    assert len(long.split()) >= 5
+    # no-repeat bigrams: no (a, b) bigram may appear twice
+    nr = (
+        generate_text(df, backend="hash", no_repeat_ngram_size=2, max_new_tokens=10)
+        .collect()[0]
+        .generated_text.split()
+    )
+    bigrams = list(zip(nr, nr[1:]))
+    assert len(bigrams) == len(set(bigrams))
+
+
+def test_text_generation_returns_full_text(spark):
+    from informers_spark.api import pipeline
+
+    df = spark.createDataFrame([(0, "great code")], ["id", "text"])
+    full = pipeline("text-generation", backend="hash")(df).collect()[0].generated_text
+    assert full.startswith("great code")
+    t2t = pipeline("text2text-generation", backend="hash")(df).collect()[0].generated_text
+    assert not t2t.startswith("great code")
+    summ = pipeline("summarization", backend="hash")(df).collect()[0]
+    assert summ.generated_text  # prefixed task variant runs
