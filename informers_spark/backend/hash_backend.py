@@ -62,10 +62,20 @@ def _token_vector(token: str, dim: int) -> np.ndarray:
 
 
 class HashBackend:
-    def __init__(self, dim: int = 64, max_tokens: int = 512, **_):
+    def __init__(self, dim: int = 64, max_tokens: int = 512, vocab=None, **_):
+        """vocab (tuple of subword strings, hashable for the executor-
+        singleton cache): switches tokenization to WordPiece-lite —
+        greedy longest-match with '##' continuations and per-SUBWORD
+        truncation, so offline spans/truncation follow the reference's
+        subword semantics (tokenizers.rb:65-119)."""
         self.dim = dim
         self.max_tokens = max_tokens
         self._vec_cache: dict[str, np.ndarray] = {}
+        self.wordpiece = None
+        if vocab is not None:
+            from informers_spark.functions.wordpiece import WordPieceTokenizer
+
+            self.wordpiece = WordPieceTokenizer(list(vocab))
 
     def _vec(self, token: str) -> np.ndarray:
         v = self._vec_cache.get(token)
@@ -114,31 +124,56 @@ class HashBackend:
         return sums / counts[:, None]
 
     # --- NER path ----------------------------------------------------------
+    @staticmethod
+    def _word_tag(word: str) -> str | None:
+        low = word.lower()
+        if not _CAP_RE.match(word):
+            return None
+        if low in _PER:
+            return "PER"
+        if low in _ORG:
+            return "ORG"
+        if low in _LOC:
+            return "LOC"
+        return "MISC"
+
     def token_classify(self, texts: list[str]):
+        """Per-token logits + offsets. With a wordpiece vocab, labels are
+        emitted per SUBWORD — first piece carries the B/I word prefix,
+        continuation pieces carry I-tag (standard WordPiece NER layout;
+        the BIO merge + join_wordpiece reassembles the word)."""
         all_logits, all_offsets = [], []
         for text in texts:
-            toks = tokenize_with_offsets(text)[: self.max_tokens]
-            logits = np.zeros((len(toks), len(_NER_LABELS)), dtype=np.float32)
+            rows: list[tuple[str, int, int, str]] = []  # (piece, s, e, label)
             prev_entity = False
-            for j, (word, _s, _e) in enumerate(toks):
-                low = word.lower()
-                if _CAP_RE.match(word):
-                    if low in _PER:
-                        tag = "PER"
-                    elif low in _ORG:
-                        tag = "ORG"
-                    elif low in _LOC:
-                        tag = "LOC"
-                    else:
-                        tag = "MISC"
-                    prefix = "I" if prev_entity else "B"
-                    logits[j, _NER_LABELS.index(f"{prefix}-{tag}")] = 6.0
-                    prev_entity = True
+            for word, s, e in tokenize_with_offsets(text):
+                tag = self._word_tag(word)
+                if self.wordpiece is not None:
+                    pieces = self.wordpiece._split_word(word)
+                    pieces = (
+                        [(p, s + rs, s + re_) for p, rs, re_ in pieces]
+                        if pieces
+                        else [(self.wordpiece.unk_token, s, e)]
+                    )
                 else:
-                    logits[j, 0] = 6.0
+                    pieces = [(word, s, e)]
+                if tag is None:
+                    rows.extend((p, ps, pe, "O") for p, ps, pe in pieces)
                     prev_entity = False
+                else:
+                    first_prefix = "I" if prev_entity else "B"
+                    for k, (p, ps, pe) in enumerate(pieces):
+                        prefix = first_prefix if k == 0 else "I"
+                        rows.append((p, ps, pe, f"{prefix}-{tag}"))
+                    prev_entity = True
+                if len(rows) >= self.max_tokens:
+                    rows = rows[: self.max_tokens]
+                    break
+            logits = np.zeros((len(rows), len(_NER_LABELS)), dtype=np.float32)
+            for j, (_p, _s, _e, label) in enumerate(rows):
+                logits[j, _NER_LABELS.index(label)] = 6.0
             all_logits.append(logits)
-            all_offsets.append(toks)
+            all_offsets.append([(p, s, e) for p, s, e, _l in rows])
         return all_logits, all_offsets, list(_NER_LABELS)
 
     # --- classification path ------------------------------------------------

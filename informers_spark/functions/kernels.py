@@ -73,9 +73,18 @@ def _get_tag(entity_name: str) -> tuple[str, str]:
     return "I", entity_name
 
 
+def join_wordpiece(words: list[str]) -> str:
+    """convert_tokens_to_string for WordPiece vocabularies: space-join,
+    then fuse '##' continuation pieces onto their word
+    (reference: lib/informers/tokenizers.rb:125-127 — the tokenizer's
+    decoder does this merge). For non-subword tokens this is exactly
+    ' '.join, so it is safe as the universal NER join."""
+    return " ".join(words).replace(" ##", "")
+
+
 def group_entities(
     entities: list[dict],
-    join_word=lambda words: " ".join(words),
+    join_word=join_wordpiece,
 ) -> list[dict]:
     """BIO merge of token-level entities into grouped spans.
 

@@ -1,0 +1,89 @@
+"""WordPiece-lite: a vocab-driven offline subword tokenizer so the
+sandbox fallback reproduces the reference's subword semantics — greedy
+longest-match, '##' continuation pieces, per-SUBWORD truncation at
+max_tokens, char offsets per piece — without the Rust `tokenizers` wheel
+(reference: lib/informers/tokenizers.rb:65-119; HF WordPiece algorithm).
+
+Used by HashBackend when constructed with a vocab; the BIO grouping in
+the NER pipeline then merges '##' pieces back with join_wordpiece
+(kernels.py), mirroring convert_tokens_to_string
+(reference: lib/informers/tokenizers.rb:125-127).
+"""
+
+from __future__ import annotations
+
+import re
+
+_WORD_RE = re.compile(r"\w+|[^\w\s]")
+
+
+class WordPieceTokenizer:
+    def __init__(
+        self,
+        vocab: list[str] | dict[str, int],
+        unk_token: str = "[UNK]",
+        lowercase: bool = True,
+        max_subwords_per_word: int = 100,
+    ):
+        self.vocab = set(vocab) if not isinstance(vocab, dict) else set(vocab)
+        self.unk_token = unk_token
+        self.lowercase = lowercase
+        self.max_subwords_per_word = max_subwords_per_word
+
+    def _split_word(self, word: str) -> list[tuple[str, int, int]] | None:
+        """Greedy longest-match split of one word → [(piece, rel_s, rel_e)]
+        with '##' continuations; None when any position has no match
+        (→ whole word becomes UNK, the HF WordPiece rule)."""
+        w = word.lower() if self.lowercase else word
+        pieces: list[tuple[str, int, int]] = []
+        pos = 0
+        while pos < len(w):
+            if len(pieces) > self.max_subwords_per_word:
+                return None
+            end = len(w)
+            found = None
+            while end > pos:
+                sub = w[pos:end]
+                cand = ("##" + sub) if pos > 0 else sub
+                if cand in self.vocab:
+                    found = (cand, pos, end)
+                    break
+                end -= 1
+            if found is None:
+                return None
+            pieces.append(found)
+            pos = found[2]
+        return pieces
+
+    def tokenize_with_offsets(
+        self, text: str, max_tokens: int = 512
+    ) -> list[tuple[str, int, int]]:
+        """→ [(subword, start, end)] over the original text, truncated at
+        max_tokens SUBWORDS (the reference truncates at the subword level,
+        tokenizers.rb:98-101 — word-level fallbacks over-pack long docs)."""
+        out: list[tuple[str, int, int]] = []
+        for m in _WORD_RE.finditer(text):
+            word, ws = m.group(0), m.start()
+            pieces = self._split_word(word)
+            if pieces is None:
+                out.append((self.unk_token, ws, m.end()))
+            else:
+                out.extend((p, ws + s, ws + e) for p, s, e in pieces)
+            if len(out) >= max_tokens:
+                return out[:max_tokens]
+        return out
+
+
+def default_vocab() -> list[str]:
+    """A small deterministic vocab for offline tests: whole common words
+    plus 2-char pieces, so real splits happen ('github' → gi ##th ##ub
+    unless 'github' itself is present)."""
+    import string
+
+    pieces = [a + b for a in string.ascii_lowercase for b in string.ascii_lowercase]
+    return (
+        list(string.ascii_lowercase)
+        + pieces
+        + ["##" + p for p in pieces]
+        + ["##" + c for c in string.ascii_lowercase]
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -27,16 +28,23 @@ from informers_spark.functions.kernels import sigmoid, softmax
 def classify(
     df: DataFrame,
     text_col: str = "text",
+    top_k: int = 1,
     multi_label: bool = False,
     backend: str = "auto",
     backend_opts: dict | None = None,
 ) -> DataFrame:
-    """Append (label, score) of the top class per row."""
+    """top_k == 1 (reference default): append (label, score) of the top
+    class per row — the reference's flattened single-result shape
+    (pipelines.rb:77-86). top_k > 1 (or 0 = all labels): explode into one
+    row per (input row, rank), adding a rank column — the relational form
+    of get_top_items(top_k) (math.rb:96-108, pipelines.rb:71-76)."""
     opts = backend_opts or {}
-    schema = T.StructType(
-        list(df.schema.fields)
-        + [T.StructField("label", T.StringType()), T.StructField("score", T.FloatType())]
-    )
+    ranked = top_k != 1
+    extra = [T.StructField("label", T.StringType()), T.StructField("score", T.FloatType())]
+    if ranked:
+        extra.append(T.StructField("rank", T.IntegerType()))
+    schema = T.StructType(list(df.schema.fields) + extra)
+    in_cols = [f.name for f in df.schema.fields]
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from informers_spark.backend.base import get_backend
@@ -46,17 +54,29 @@ def classify(
             if len(pdf) == 0:
                 pdf["label"] = pd.Series([], dtype=str)
                 pdf["score"] = pd.Series([], dtype="float32")
+                if ranked:
+                    pdf["rank"] = pd.Series([], dtype="int32")
                 yield pdf
                 continue
             texts = pdf[text_col].fillna("").astype(str).tolist()
             logits, id2label = be.classify(texts)
             # sigmoid when problem_type == multi_label (pipelines.rb:57-62)
             probs = sigmoid(logits) if multi_label else softmax(logits, axis=-1)
-            top = probs.argmax(axis=-1)
-            pdf = pdf.copy()
-            pdf["label"] = [id2label[int(i)] for i in top]
-            pdf["score"] = probs[range(len(top)), top].astype("float32")
-            yield pdf
+            if not ranked:
+                top = probs.argmax(axis=-1)
+                pdf = pdf.copy()
+                pdf["label"] = [id2label[int(i)] for i in top]
+                pdf["score"] = probs[range(len(top)), top].astype("float32")
+                yield pdf
+                continue
+            k = probs.shape[1] if top_k <= 0 else min(top_k, probs.shape[1])
+            order = np.argsort(-probs, axis=-1, kind="stable")[:, :k]  # [b, k]
+            src_idx = np.repeat(np.arange(len(pdf)), k)
+            out = pdf.take(src_idx)[in_cols].reset_index(drop=True)
+            out["label"] = [id2label[int(i)] for i in order.ravel()]
+            out["score"] = probs[src_idx, order.ravel()].astype("float32")
+            out["rank"] = np.tile(np.arange(1, k + 1, dtype=np.int32), len(pdf))
+            yield out
 
     return df.mapInPandas(infer, schema=schema)
 

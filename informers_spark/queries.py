@@ -871,6 +871,43 @@ FROM logits ORDER BY doc_id
 """
 
 
+def q_classify_topk(spark, sf_dir):
+    """Ranked top-k classification output — get_top_items(top_k) parity
+    (reference: pipelines.rb:71-86, math.rb:96-108)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = classify(docs.select("doc_id", "text"), top_k=2, backend="hash")
+    return out.select(
+        "doc_id", "label", F.round(F.col("score").cast("double"), 4).alias("score"), "rank"
+    ).orderBy("doc_id", "rank")
+
+
+def _classify_topk_sql() -> str:
+    toks = "list_distinct(list_transform(" + _DUCK_TOKENS + ", t -> lower(t)))"
+    neg = "[" + ", ".join(repr(w) for w in NEGATIVE) + "]"
+    pos = "[" + ", ".join(repr(w) for w in POSITIVE) + "]"
+    return f"""
+WITH logits AS (
+  SELECT doc_id,
+         1.0 + 2.0 * len(list_filter({toks}, t -> list_contains({neg}, t))) AS l_neg,
+         1.0 + 2.0 * len(list_filter({toks}, t -> list_contains({pos}, t))) AS l_pos
+  FROM documents
+),
+ranked AS (
+  -- argsort desc, stable: on ties NEGATIVE (index 0) ranks first
+  SELECT doc_id, 'NEGATIVE' AS label, l_neg AS l, l_pos AS other,
+         CASE WHEN l_neg >= l_pos THEN 1 ELSE 2 END AS rank FROM logits
+  UNION ALL
+  SELECT doc_id, 'POSITIVE', l_pos, l_neg,
+         CASE WHEN l_neg >= l_pos THEN 2 ELSE 1 END FROM logits
+)
+SELECT doc_id, label,
+       ROUND((EXP(l - GREATEST(l, other))
+              / (EXP(l - GREATEST(l, other)) + EXP(other - GREATEST(l, other))))::FLOAT::DOUBLE, 4) AS score,
+       rank
+FROM ranked ORDER BY doc_id, rank
+"""
+
+
 def q_zero_shot_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = zero_shot(docs, labels=ZS_LABELS, backend="hash")
@@ -1123,6 +1160,7 @@ QUERIES = {
     "q_cc_components": q_cc_components,
     "q_generate_docs": q_generate_docs,
     "q_classify_docs": q_classify_docs,
+    "q_classify_topk": q_classify_topk,
     "q_zero_shot_docs": q_zero_shot_docs,
     "q_rerank_docs": q_rerank_docs,
     "q_embed_docs": q_embed_docs,
@@ -1164,6 +1202,7 @@ ORACLE_SQL = {
     "q_range_join_events": Q_RANGE_JOIN_SQL,
     "q_cc_components": _cc_sql(),
     "q_classify_docs": _classify_sql(),
+    "q_classify_topk": _classify_topk_sql(),
     "q_zero_shot_docs": _zero_shot_sql(),
     "q_rerank_docs": _rerank_sql(),
     "q_ner_docs": _ner_sql(),

@@ -86,3 +86,46 @@ def test_bio_unprefixed_tag_is_continuation():
 def test_bio_tag_change_splits():
     ents = [_ent("B-ORG", 0.9, "Apache", 0, 6), _ent("I-LOC", 0.7, "Tokyo", 7, 12)]
     assert len(group_entities(ents)) == 2
+
+
+def test_join_wordpiece_merges_continuations():
+    from informers_spark.functions.kernels import join_wordpiece
+
+    assert join_wordpiece(["Gith", "##ub"]) == "Github"
+    assert join_wordpiece(["New", "York"]) == "New York"
+    assert join_wordpiece(["Mo", "##zil", "##la", "Corp"]) == "Mozilla Corp"
+
+
+def test_wordpiece_tokenizer_longest_match_offsets():
+    from informers_spark.functions.wordpiece import WordPieceTokenizer
+
+    tok = WordPieceTokenizer(["git", "##hub", "##h", "##ub", "is", "a", "##b"])
+    # greedy longest-match: 'github' -> git + ##hub (not ##h ##ub)
+    got = tok.tokenize_with_offsets("github is")
+    assert got == [("git", 0, 3), ("##hub", 3, 6), ("is", 7, 9)]
+    # unmatched word -> single UNK spanning the word
+    got = tok.tokenize_with_offsets("github zzz is")
+    assert ("[UNK]", 7, 10) in got
+    # truncation at max_tokens SUBWORDS, not words
+    got = tok.tokenize_with_offsets("github github github", max_tokens=3)
+    assert len(got) == 3 and got[2][0] == "git"
+
+
+def test_ner_bio_merge_with_subword_inputs(spark):
+    """Subword pieces of one gazetteer word must merge back into the full
+    word (B-ORG + I-ORG continuations -> one mention, word detokenized via
+    join_wordpiece) — the reference's convert_tokens_to_string path
+    (tokenizers.rb:125-127, pipelines.rb:160-174)."""
+    from informers_spark.pipelines.ner import ner
+
+    vocab = ("git", "##hub", "lon", "##don", "runs", "on", "ru", "##by")
+    df = spark.createDataFrame([(0, "Github runs on Ruby in London")], ["id", "text"])
+    out = ner(df, backend="hash", backend_opts={"vocab": vocab}).collect()
+    by_word = {r.word: r for r in out}
+    g = by_word["github"]  # merged across git + ##hub (uncased vocab -> lowercase word)
+    assert g.entity_group == "ORG" and g.start == 0 and g.end == 6
+    r = by_word["ruby"]
+    assert r.entity_group == "ORG" and r.start == 15 and r.end == 19
+    l = by_word["london"]
+    assert l.entity_group == "LOC" and l.start == 23 and l.end == 29
+    assert len(out) == 3  # no stray per-piece mentions
