@@ -31,34 +31,44 @@ def asof_join(
     by = [by] if isinstance(by, str) else (by or [])
     right_cols = right_cols or [c for c in right.columns if c != on and c not in by]
 
+    # the right payload travels as ONE struct, so every left row sees one
+    # CONSISTENT right row — per-column last(ignorenulls) would skip a
+    # legitimately-NULL payload value and mix values from different right
+    # rows. The struct is non-null whenever a right row exists, even if
+    # all its fields are NULL.
     lt = left.withColumn("_side", F.lit(1))
     rt = right.select(
-        *by, F.col(on), *[F.col(c).alias(c + suffix) for c in right_cols]
+        *by,
+        F.col(on),
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("_rpay"),
     ).withColumn("_side", F.lit(0))
 
     # align schemas for the union
     for c in left.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    for c in [rc + suffix for rc in right_cols]:
-        lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
+    lt = lt.withColumn("_rpay", F.lit(None).cast(rt.schema["_rpay"].dataType))
     cols = by + [on, "_side"] + \
-        [c for c in left.columns if c not in by and c != on] + \
-        [rc + suffix for rc in right_cols]
+        [c for c in left.columns if c not in by and c != on] + ["_rpay"]
     unioned = lt.select(*cols).unionAll(rt.select(*cols))
 
-    # right rows (side 0) sort before left rows at equal ts → ts_r <= ts_l
+    # right rows (side 0) sort before left rows at equal ts → ts_r <= ts_l;
+    # right-side ties on (by, ts) break deterministically on the payload
+    # struct (lexicographic by field) — last() then always picks the max
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(F.col(on).asc(), F.col("_side").asc(), F.col("_rpay").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
-        *[c for c in cols if not c.endswith(suffix) and c != "_side"],
+        *[c for c in cols if c not in ("_side", "_rpay")],
         F.col("_side"),
-        *[
-            F.last(F.col(rc + suffix), ignorenulls=True).over(w).alias(rc + suffix)
-            for rc in right_cols
-        ],
+        F.last(F.col("_rpay"), ignorenulls=True).over(w).alias("_rpay"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *[c for c in cols if c not in ("_side", "_rpay")],
+            *[F.col("_rpay")[rc].alias(rc + suffix) for rc in right_cols],
+        )
+    )

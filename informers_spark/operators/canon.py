@@ -20,9 +20,18 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    require_convergence: bool = True,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """→ (node, component) where component = min node id/label in the
-    component (string min = lexicographic)."""
+    component (string min = lexicographic).
+
+    Exiting via max_iter with labels still changing means the result is
+    WRONG (partially-merged components) — with require_convergence (the
+    default) that raises instead of silently emitting bad same_as edges;
+    pass require_convergence=False to get the partial labels plus
+    metrics['converged']=False. `metrics` (optional dict) also receives
+    'iterations' for stage telemetry."""
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -35,7 +44,10 @@ def connected_components(
         .localCheckpoint()
     )
 
+    converged = False
+    iterations = 0
     for _ in range(max_iter):
+        iterations += 1
         # 1) hook: take the min label over neighbors
         prop = (
             sym.join(labels, sym.u == labels.node)
@@ -71,5 +83,16 @@ def connected_components(
         changed = new_labels.filter(F.col("component") != F.col("old")).limit(1).count()
         labels = new_labels.drop("old")
         if changed == 0:
+            converged = True
             break
+    if metrics is not None:
+        metrics["iterations"] = iterations
+        metrics["converged"] = converged
+    if not converged and require_convergence:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "(labels still changing) — the component labels would be silently "
+            "wrong; raise max_iter (pointer-jumping needs ~log2(diameter) "
+            "iterations) or pass require_convergence=False to accept partial labels"
+        )
     return labels

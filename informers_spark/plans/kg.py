@@ -42,11 +42,18 @@ TRIPLE_COLS = ["subj", "pred", "obj", "score", "src_sha256"]
 
 def salt_partition(df: DataFrame, partitions: int | None, *keys: str) -> DataFrame:
     """Repartition by (keys..., salt) — explicit skew-neutralizer: a hot
-    repo spreads over many tasks instead of one. The partition COUNT is
-    left to AQE (user-fixed counts disable adaptive coalescing, which
-    blows up output file counts at high core counts and under-splits at
-    scale); pass `partitions` only to override."""
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*keys, F.lit(17)), F.lit(64)))
+    key's rows spread over up to 64 tasks instead of one. The salt MUST be
+    row-distinct, not a function of the keys (hashing the keys again
+    yields exactly the distribution of repartition(keys) — a no-op);
+    monotonically_increasing_id is per-row by construction, and the salt
+    only steers shuffle placement, never output content, so its
+    retry-instability is harmless. The partition COUNT is left to AQE
+    (user-fixed counts disable adaptive coalescing, which blows up output
+    file counts at high core counts and under-splits at scale); pass
+    `partitions` only to override."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(64))
+    )
     if partitions:
         out = salted.repartition(partitions, *keys, "_salt")
     else:
@@ -135,8 +142,15 @@ def build_kg(
 
     same_as = stage("same_as", make_same_as)
 
-    # 6. canonicalization
-    components = stage("components", lambda: connected_components(same_as))
+    # 6. canonicalization (convergence surfaces in stage metrics; a
+    # non-converged run raises inside the operator rather than emitting
+    # silently-wrong same_as labels)
+    cc_metrics: dict = {}
+    components = stage(
+        "components", lambda: connected_components(same_as, metrics=cc_metrics)
+    )
+    if cc_metrics:
+        metrics["components"].update(cc_metrics)
 
     # 7. materialize
     def make_triples():

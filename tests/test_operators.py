@@ -147,3 +147,59 @@ def test_embedding_neardup_guard_caps_buckets(spark):
     assert full == n * (n - 1) // 2
     # guard on: the hot cell is dropped entirely -> zero quadratic work
     assert embedding_neardup(one, threshold=0.0, max_bucket=200).count() == 0
+
+
+def test_asof_join_carries_null_payload_consistently(spark):
+    """A right row whose payload value is legitimately NULL must be
+    delivered as NULL (not skipped for an older row), and multi-column
+    payloads must come from ONE right row, never a mix."""
+    from informers_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10, "l1"), ("k", 20, "l2")], ["key", "ts", "lv"]
+    )
+    right = spark.createDataFrame(
+        [("k", 5, "a", 1), ("k", 15, None, 2)],
+        "key string, ts int, p1 string, p2 int",
+    )
+    out = {
+        r.lv: (r.p1_r, r.p2_r)
+        for r in asof_join(
+            left, right, on="ts", by="key", right_cols=["p1", "p2"]
+        ).collect()
+    }
+    assert out["l1"] == ("a", 1)
+    # the ts=15 row wins for l2: its NULL p1 must NOT fall back to "a"
+    assert out["l2"] == (None, 2)
+
+
+def test_asof_join_right_tie_is_deterministic(spark):
+    from informers_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10, "l")], ["key", "ts", "lv"])
+    right = spark.createDataFrame(
+        [("k", 10, "x"), ("k", 10, "y")], ["key", "ts", "pay"]
+    )
+    vals = set()
+    for _ in range(3):
+        r = asof_join(left, right, on="ts", by="key", right_cols=["pay"]).collect()[0]
+        vals.add(r.pay_r)
+    assert vals == {"y"}  # max payload struct wins the tie, every run
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest as _pytest
+
+    from informers_spark.operators.canon import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["src", "dst"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+    m: dict = {}
+    labels = connected_components(chain, max_iter=1, require_convergence=False, metrics=m)
+    assert m == {"iterations": 1, "converged": False}
+    m2: dict = {}
+    full = connected_components(chain, metrics=m2)
+    assert m2["converged"] and full.filter("component != 0").count() == 0
