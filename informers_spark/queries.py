@@ -359,6 +359,61 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_stream_window(spark, sf_dir):
+    """Structured Streaming surface as a driver-checked query: the events
+    parquet replayed through readStream (availableNow) into the
+    watermarked windowed_event_counts operator, collected via a memory
+    sink. Same relational semantics as a static tumbling-window GROUP BY,
+    which is exactly what the DuckDB oracle computes — so the streaming
+    operator's correctness is hash-gated, not just smoke-tested.
+    Complete output mode: append would withhold the final (never-
+    finalized) windows of a finite replay."""
+    import os
+    import tempfile
+    import uuid
+
+    from informers_spark.streaming.ingest import windowed_event_counts
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source requires a DIRECTORY to list; expose the
+    # single events parquet through a temp dir symlink (a real deployment
+    # streams a landing directory anyway)
+    land = tempfile.mkdtemp(prefix="q_stream_window_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), os.path.join(land, "events.parquet")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(land)
+        # watermarks need TIMESTAMP (event time); parquet stores NTZ — the
+        # session TZ is pinned UTC so the cast is value-preserving
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = windowed_event_counts(stream, window="10 minutes").select(
+        "window_start",
+        "event_type",
+        "n",
+        F.round(F.col("sum_value"), 6).alias("sum_value"),
+    )
+    name = "q_stream_window_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+Q_STREAM_WINDOW_SQL = """
+SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 600000000) AS BIGINT) * 600000000) AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_top_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.orderBy(F.desc("value"), F.asc("event_id")).select("event_id", "user_id", "value").limit(10)
@@ -1141,6 +1196,7 @@ QUERIES = {
     "q_semi_join_parts": q_semi_join_parts,
     "q_events_sessionize": q_events_sessionize,
     "q_events_json": q_events_json,
+    "q_stream_window": q_stream_window,
     "q_top_events": q_top_events,
     "q_token_count": q_token_count,
     "q_fingerprint": q_fingerprint,
@@ -1184,6 +1240,7 @@ ORACLE_SQL = {
     "q_semi_join_parts": Q_SEMI_SQL,
     "q_events_sessionize": Q_SESSION_SQL,
     "q_events_json": Q_JSON_SQL,
+    "q_stream_window": Q_STREAM_WINDOW_SQL,
     "q_top_events": Q_TOP_EVENTS_SQL,
     "q_token_count": Q_TOKEN_COUNT_SQL,
     "q_fingerprint": Q_FINGERPRINT_SQL,
