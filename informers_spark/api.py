@@ -80,7 +80,17 @@ def pipeline(task: str, backend: str = "auto", **defaults):
     raise ValueError(f"Unsupported pipeline: {task}")
 
 
-def embed_texts(df, text_col: str = "text", backend: str = "auto"):
+# per-model embed option overrides, mirroring Model#embed's special case
+# (reference: lib/informers/model.rb:6 — mxbai wants cls pooling and no
+# normalization); extendable the way the reference hardcodes it
+MODEL_EMBED_OPTIONS = {
+    "mixedbread-ai/mxbai-embed-large-v1": {"pooling": "cls", "do_normalize": False},
+}
+
+
+def embed_texts(df, text_col: str = "text", model_id: str | None = None, backend: str = "auto"):
     """Convenience mirroring the legacy Model#embed
-    (reference: lib/informers/model.rb:3-13)."""
-    return embed(df, text_col=text_col, backend=backend)
+    (reference: lib/informers/model.rb:3-13): embedding defaults
+    (mean pool + normalize) with per-model overrides applied by id."""
+    opts = MODEL_EMBED_OPTIONS.get(model_id, {})
+    return embed(df, text_col=text_col, backend=backend, **opts)

@@ -98,11 +98,12 @@ def zero_shot(
     opts = backend_opts or {}
     spark = df.sparkSession
     labels_df = spark.createDataFrame([(l,) for l in labels], ["candidate_label"])
-    # synthetic row id: the cross-label softmax window partitions on it
-    # instead of on every input column — avoids shuffling the full text
-    # |labels| times at scale
+    # synthetic row id: the label explosion, scoring UDF and cross-label
+    # softmax window all run on a SLIM (_zs_id, text) projection — the
+    # payload columns never travel |labels| times and join back exactly
+    # once at the end (at corpus scale the payload dominates the bytes)
     df = df.withColumn("_zs_id", F.monotonically_increasing_id())
-    pairs = df.crossJoin(F.broadcast(labels_df))
+    pairs = df.select("_zs_id", text_col).crossJoin(F.broadcast(labels_df))
 
     schema = T.StructType(
         list(pairs.schema.fields)
@@ -140,14 +141,16 @@ def zero_shot(
     scored = pairs.mapInPandas(infer, schema=schema)
 
     if multi_label or len(labels) == 1:
-        return scored.withColumn("score", F.col("pair_score")).drop(
-            "entailment_logit", "pair_score", "_zs_id"
+        slim = scored.select(
+            "_zs_id", "candidate_label", F.col("pair_score").alias("score")
         )
-    # softmax of entailment logits across labels per text (pipelines.rb:452-456)
-    w = Window.partitionBy("_zs_id")
-    mx = F.max("entailment_logit").over(w)
-    e = F.exp(F.col("entailment_logit") - mx)
-    return (
-        scored.withColumn("score", e / F.sum(e).over(w))
-        .drop("entailment_logit", "pair_score", "_zs_id")
-    )
+    else:
+        # softmax of entailment logits across labels per text
+        # (pipelines.rb:452-456) — window over (_zs_id, label, logit) only
+        w = Window.partitionBy("_zs_id")
+        mx = F.max("entailment_logit").over(w)
+        e = F.exp(F.col("entailment_logit") - mx)
+        slim = scored.select(
+            "_zs_id", "candidate_label", (e / F.sum(e).over(w)).alias("score")
+        )
+    return df.join(slim, "_zs_id").drop("_zs_id")
