@@ -33,6 +33,7 @@ HEADLINE = [
     "q_exact_dedup",
     "q_quality_score",
     "q_minhash_pairs",
+    "q_minhash_pairs_fast",
     "q_simhash",
     "q_knn_bruteforce",
     "q_lsh_buckets",

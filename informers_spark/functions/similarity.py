@@ -37,10 +37,25 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def shingle_fingerprints(col: Column, n: int = 3) -> Column:
-    """Distinct portable fingerprints of the n-gram shingles."""
+def shingle_fingerprints(col: Column, n: int = 3, portable: bool = True) -> Column:
+    """Distinct fingerprints of the n-gram shingles.
+
+    portable=True: per-char rolling hash, bit-identical in ANSI SQL —
+    the ORACLE path (and the slow one: one fold step per character).
+    portable=False: xxhash64 of the shingle, one JVM hash call per
+    shingle (~10x less expression work) — the PRODUCTION path; same
+    downstream MinHash algebra, hash values engine-specific (so the
+    portable twin carries the correctness gate, like q_distinct_parts
+    does for approx_count_distinct)."""
+    if portable:
+        return F.array_distinct(
+            F.transform(word_shingles(col, n), lambda s: _fp_str(s))
+        )
     return F.array_distinct(
-        F.transform(word_shingles(col, n), lambda s: _fp_str(s))
+        F.transform(
+            word_shingles(col, n),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(FP_MOD)),
+        )
     )
 
 

@@ -46,14 +46,21 @@ def minhash_pairs(
     bands: int = 8,
     max_bucket: int = 200,
     threshold: float = 0.5,
+    portable: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs by MinHash banding, verified with
     exact shingle-set Jaccard ≥ threshold. → (a, b, jac) with a < b.
 
+    portable=False swaps the per-char rolling shingle hash for one
+    xxhash64 call per shingle — the production path at corpus scale
+    (the portable fold exists for bit-exact SQL-oracle parity and costs
+    one fold step per character).
+
     Plan shape: one scan computes signature+shingles, explode to (band,
     key), bucket self-join (equi-join — NOT a cross join), exact-Jaccard
     verify on the joined shingle sets. The max_bucket guard caps any
-    band bucket before the self-join (quadratic blowup protection)."""
+    band bucket before the self-join (quadratic blowup protection).
+    """
     # materialize the shingle/signature computation ONCE: the skew-guard
     # aggregate, both self-join sides, and both fps re-attach joins all
     # consume it — without a checkpoint Catalyst recomputes the per-char
@@ -62,7 +69,7 @@ def minhash_pairs(
     base = (
         df.select(
             F.col(id_col).alias("id"),
-            shingle_fingerprints(F.col(text_col), shingle_n).alias("fps"),
+            shingle_fingerprints(F.col(text_col), shingle_n, portable=portable).alias("fps"),
         )
         .withColumn("sig", minhash_signature(F.col("fps"), k=k))
         .localCheckpoint()

@@ -583,6 +583,16 @@ ORDER BY a, b
 """
 
 
+def q_minhash_pairs_fast(spark, sf_dir):
+    """Production MinHash path: xxhash64 shingle fingerprints (one JVM
+    hash per shingle instead of a per-character fold). Rows-only by
+    design — hash values are engine-specific, so the portable twin
+    (q_minhash_pairs) carries the oracle gate, exactly like
+    q_distinct_parts does for q_approx_distinct."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_pairs(docs, threshold=0.2, portable=False).orderBy("a", "b")
+
+
 def q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_table(docs).orderBy("id")
@@ -1205,6 +1215,7 @@ QUERIES = {
     "q_lang_id": q_lang_id,
     "q_kw_mentions": q_kw_mentions,
     "q_minhash_pairs": q_minhash_pairs,
+    "q_minhash_pairs_fast": q_minhash_pairs_fast,
     "q_simhash": q_simhash,
     "q_jaccard_sample": q_jaccard_sample,
     "q_knn_bruteforce": q_knn_bruteforce,
