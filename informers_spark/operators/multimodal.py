@@ -60,20 +60,43 @@ def make_synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 def fake_decode(payload: bytes) -> np.ndarray:
     """Parse the synthetic header → HWC uint8 array. Raises on foreign
-    bytes (a real decoder goes here)."""
+    bytes (auto_decode routes those to a real decoder when one exists)."""
     if payload[:4] != _MAGIC:
         raise NotImplementedError(
-            "real image decoding requires vips/PIL — not available in this "
-            "container; only synthetic ISMM payloads are decodable"
+            "not a synthetic ISMM payload — use auto_decode, which "
+            "import-guards a real decoder (PIL) for standard formats"
         )
     w, h, c = struct.unpack("<HHH", payload[4:10])
     return np.frombuffer(payload[10:10 + w * h * c], dtype=np.uint8).reshape(h, w, c)
 
 
+def auto_decode(payload: bytes) -> np.ndarray:
+    """Default decoder: synthetic ISMM header → fake_decode; anything else
+    → Pillow, import-guarded (this container lacks vips/PIL/ffmpeg —
+    reference decodes via libvips, lib/informers/utils/image.rb:14-29).
+    On a real cluster `pip install pillow` activates the real path with
+    no code change; without it, foreign bytes raise with the guard
+    message instead of silently producing garbage."""
+    if payload[:4] == _MAGIC:
+        return fake_decode(payload)
+    try:
+        import io
+
+        from PIL import Image  # import-guarded: wheel absent in sandbox
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decoding requires the pillow wheel (or swap "
+            "decode_fn for a vips/ffmpeg-backed decoder); not available "
+            "in this container"
+        ) from e
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
+
+
 def extract_image_features(
     df: DataFrame,
     payload_col: str = "payload",
-    decode_fn=fake_decode,
+    decode_fn=auto_decode,
     resize_to: int = 8,
 ) -> DataFrame:
     """Decode → bilinear-ish resize (numpy) → per-channel mean/std feature
