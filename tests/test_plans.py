@@ -75,3 +75,31 @@ def test_structural_extraction_is_jvm_only(spark):
     plan = _plan(extract_structural_triples(generate_files(spark, n=10)))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_embedding_neardup_no_cartesian(spark):
+    # banded LSH blocking must plan as an equi-join on (band, bucket) —
+    # a CartesianProduct here is the 100-TB death sentence
+    from informers_spark.operators.dedup import embedding_neardup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(embedding_neardup(emb, threshold=0.3))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_knn_lsh_broadcasts_query_blocks(spark):
+    from informers_spark.queries import q_knn_lsh
+
+    plan = _plan(q_knn_lsh(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # query side is broadcast
+
+
+def test_generate_udf_runs_on_scan_partitioning(spark):
+    from informers_spark.pipelines.generate import generate_text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = _plan(generate_text(docs, backend="hash"))
+    before_udf = plan.split("MapInPandas")[0]
+    assert "Exchange" not in before_udf
