@@ -22,6 +22,34 @@ def greedy_sample(logits: np.ndarray) -> int:
     return int(np.argmax(logits))
 
 
+def apply_temperature(logits: np.ndarray, temperature: float) -> np.ndarray:
+    """Sampler#get_logits temperature divide
+    (reference: lib/informers/utils/generation.rb:96-101)."""
+    if temperature and temperature > 0:
+        return logits / temperature
+    return logits
+
+
+def beam_sample(
+    logits: np.ndarray, num_beams: int, top_k: int = 50
+) -> list[tuple[int, float]]:
+    """BeamSearchSampler step: top-k logits → softmax → num_beams
+    (token, log p) candidates (reference: lib/informers/utils/
+    generation.rb:133-156). get_top_items' stable desc order applies —
+    ties resolve to the lower token id. NOTE: the reference's own
+    get_sampler can also route to MultinomialSampler, a class it never
+    defines (NameError upstream) — not reproduced here."""
+    k = logits.shape[-1]
+    if top_k and top_k > 0:
+        k = min(top_k, k)
+    order = np.argsort(-logits, kind="stable")[:k]
+    top_logits = logits[order]
+    m = top_logits.max()
+    e = np.exp(top_logits - m)
+    probs = e / e.sum()
+    return [(int(order[i]), float(np.log(probs[i]))) for i in range(num_beams)]
+
+
 class NoRepeatNGramLogitsProcessor:
     """Ban any token that would complete an n-gram already present in the
     generated ids (reference: lib/informers/utils/generation.rb:191-248).

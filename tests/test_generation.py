@@ -118,3 +118,22 @@ def test_text_generation_returns_full_text(spark):
     assert not t2t.startswith("great code")
     summ = pipeline("summarization", backend="hash")(df).collect()[0]
     assert summ.generated_text  # prefixed task variant runs
+
+
+def test_beam_sample_hand_values():
+    from informers_spark.functions.generation import apply_temperature, beam_sample
+
+    # logits [0, ln2, ln4] -> softmax over top_k=3 = [1/7, 2/7, 4/7];
+    # two beams: token 2 (log 4/7), token 1 (log 2/7)
+    logits = np.log(np.array([1.0, 2.0, 4.0]))
+    beams = beam_sample(logits, num_beams=2, top_k=3)
+    assert [t for t, _ in beams] == [2, 1]
+    assert beams[0][1] == pytest.approx(np.log(4 / 7))
+    assert beams[1][1] == pytest.approx(np.log(2 / 7))
+    # top_k cuts the softmax support: with top_k=2 probs renormalize to
+    # [2/6, 4/6] over tokens {2, 1}
+    beams = beam_sample(logits, num_beams=2, top_k=2)
+    assert beams[0][1] == pytest.approx(np.log(4 / 6))
+    # temperature divides logits before sampling (generation.rb:96-101)
+    assert apply_temperature(np.array([2.0, 4.0]), 2.0).tolist() == [1.0, 2.0]
+    assert apply_temperature(np.array([2.0]), 0).tolist() == [2.0]
