@@ -71,6 +71,7 @@ class HashBackend:
         self.dim = dim
         self.max_tokens = max_tokens
         self._vec_cache: dict[str, np.ndarray] = {}
+        self._tag_cache: dict[str, str | None] = {}
         self.wordpiece = None
         if vocab is not None:
             from informers_spark.functions.wordpiece import WordPieceTokenizer
@@ -112,14 +113,21 @@ class HashBackend:
         starts = np.empty(len(texts), dtype=np.int64)
         counts = np.empty(len(texts), dtype=np.float32)
         for i, x in enumerate(texts):
-            toks = [t for t, _, _ in tokenize_with_offsets(x)][: self.max_tokens] or [""]
+            # findall: same tokens as tokenize_with_offsets minus the
+            # match-object construction (~2x faster; offsets unused here)
+            toks = _TOKEN_RE.findall(x)[: self.max_tokens] or [""]
             starts[i] = len(flat)
             counts[i] = len(toks)
             flat.extend(toks)
+        # gather by UNIQUE token: corpora repeat tokens heavily, so one
+        # md5-vec per distinct token + one fancy-index gather replaces a
+        # per-token python loop (the embed stage's hot spot at 1M docs)
+        uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
         vec = self._vec
-        mat = np.empty((len(flat), self.dim), dtype=np.float32)
-        for j, tok in enumerate(flat):
-            mat[j] = vec(tok)
+        umat = np.empty((len(uniq), self.dim), dtype=np.float32)
+        for j, tok in enumerate(uniq):
+            umat[j] = vec(tok)
+        mat = umat[inv]
         sums = np.add.reduceat(mat, starts, axis=0)
         return sums / counts[:, None]
 
@@ -143,11 +151,17 @@ class HashBackend:
         continuation pieces carry I-tag (standard WordPiece NER layout;
         the BIO merge + join_wordpiece reassembles the word)."""
         all_logits, all_offsets = [], []
+        tag_cache = self._tag_cache  # word → tag|None memo (small vocab,
+        # huge token volume: regex + gazetteer once per DISTINCT word)
+        label_idx = {l: i for i, l in enumerate(_NER_LABELS)}
         for text in texts:
             rows: list[tuple[str, int, int, str]] = []  # (piece, s, e, label)
             prev_entity = False
             for word, s, e in tokenize_with_offsets(text):
-                tag = self._word_tag(word)
+                try:
+                    tag = tag_cache[word]
+                except KeyError:
+                    tag = tag_cache[word] = self._word_tag(word)
                 if self.wordpiece is not None:
                     pieces = self.wordpiece._split_word(word)
                     pieces = (
@@ -170,8 +184,8 @@ class HashBackend:
                     rows = rows[: self.max_tokens]
                     break
             logits = np.zeros((len(rows), len(_NER_LABELS)), dtype=np.float32)
-            for j, (_p, _s, _e, label) in enumerate(rows):
-                logits[j, _NER_LABELS.index(label)] = 6.0
+            if rows:
+                logits[np.arange(len(rows)), [label_idx[r[3]] for r in rows]] = 6.0
             all_logits.append(logits)
             all_offsets.append([(p, s, e) for p, s, e, _l in rows])
         return all_logits, all_offsets, list(_NER_LABELS)
