@@ -47,7 +47,11 @@ def beam_sample(
     m = top_logits.max()
     e = np.exp(top_logits - m)
     probs = e / e.sum()
-    return [(int(order[i]), float(np.log(probs[i]))) for i in range(num_beams)]
+    # clamp to the available support (top_k may be narrower than num_beams)
+    return [
+        (int(order[i]), float(np.log(probs[i])))
+        for i in range(min(num_beams, k))
+    ]
 
 
 class NoRepeatNGramLogitsProcessor:

@@ -28,7 +28,52 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from informers_spark.functions.generation import build_processors, greedy_sample
+from informers_spark.functions.generation import (
+    apply_temperature,
+    beam_sample,
+    build_processors,
+    greedy_sample,
+)
+
+
+def _beam_decode(
+    be, contexts, vocab, eos_id, procs, max_new_tokens, num_beams, top_k, temperature
+):
+    """Beam-search decode for one Arrow batch (reference loop semantics,
+    models.rb:263-326): every live (row, beam) pair advances in ONE
+    batched forward per step; each live beam fans out to num_beams
+    (token, log p) candidates (BeamSearchSampler, generation.rb:133-156);
+    per row, done beams rejoin the pool and the top num_beams by
+    cumulative score survive (group_beams + sort, models.rb:313-320).
+    Returns the best beam's ids per row."""
+    b = len(contexts)
+    beams = [[{"ids": [eos_id], "score": 0.0, "done": False}] for _ in range(b)]
+    for _ in range(max_new_tokens):
+        live = [(ri, bm) for ri in range(b) for bm in beams[ri] if not bm["done"]]
+        if not live:
+            break
+        _, logits = be.next_logits(
+            [contexts[ri] for ri, _ in live],
+            [[vocab[t] for t in bm["ids"][1:]] for _, bm in live],
+        )
+        logits = logits.astype(np.float64)
+        pools = [[bm for bm in beams[ri] if bm["done"]] for ri in range(b)]
+        for (ri, bm), row in zip(live, logits):
+            for p in procs:
+                row = p(bm["ids"], row)
+            row = apply_temperature(row, temperature)
+            for tok, logp in beam_sample(row, num_beams, top_k):
+                pools[ri].append(
+                    {
+                        "ids": bm["ids"] + [tok],
+                        "score": bm["score"] + logp,
+                        "done": tok == eos_id,
+                    }
+                )
+        # stable sort: ties keep insertion order, like the pool order the
+        # reference's sort_by preserves in practice for equal scores
+        beams = [sorted(pool, key=lambda x: -x["score"])[:num_beams] for pool in pools]
+    return [beams[ri][0]["ids"] for ri in range(b)]
 
 
 def generate_text(
@@ -39,12 +84,17 @@ def generate_text(
     min_length: int = 0,
     no_repeat_ngram_size: int = 0,
     forced_bos_token_id: int | None = None,
+    num_beams: int = 1,
+    top_k: int = 50,
+    temperature: float = 1.0,
     prefix: str = "",
     return_full_text: bool = False,
     backend: str = "auto",
     backend_opts: dict | None = None,
 ) -> DataFrame:
-    """Append a greedy-decoded text column.
+    """Append a decoded text column — greedy (num_beams=1, the reference
+    default) or beam search (num_beams>1; GenerationConfig defaults
+    top_k=50, temperature=1.0 per utils/generation.rb:3-73).
 
     return_full_text=True prepends the prompt (text-generation semantics,
     pipelines.rb:364-418); False returns only the new tokens
@@ -70,6 +120,24 @@ def generate_text(
                 no_repeat_ngram_size=no_repeat_ngram_size,
                 forced_bos_token_id=forced_bos_token_id,
             )
+            if num_beams > 1:
+                ids_out = _beam_decode(
+                    be, contexts, vocab, eos_id, procs,
+                    max_new_tokens, num_beams, top_k, temperature,
+                )
+                decoded = [
+                    " ".join(vocab[t] for t in ids[1:] if t != eos_id)
+                    for ids in ids_out
+                ]
+                if return_full_text:
+                    decoded = [
+                        (t + " " + d).strip() if d else t
+                        for t, d in zip(texts, decoded)
+                    ]
+                out = pdf.copy()
+                out[out_col] = pd.Series(decoded, dtype=object)
+                yield out
+                continue
             # decoder start token (T5 convention: EOS) so processor length
             # semantics line up with the reference's seq2seq ids
             gen_ids: list[list[int]] = [[eos_id] for _ in range(b)]

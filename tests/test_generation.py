@@ -137,3 +137,32 @@ def test_beam_sample_hand_values():
     # temperature divides logits before sampling (generation.rb:96-101)
     assert apply_temperature(np.array([2.0, 4.0]), 2.0).tolist() == [1.0, 2.0]
     assert apply_temperature(np.array([2.0]), 0).tolist() == [2.0]
+
+
+def test_beam_search_pipeline(spark):
+    from informers_spark.pipelines.generate import generate_text
+
+    df = spark.createDataFrame(
+        [(0, "spark is a fast framework"), (1, "the slow bug was terrible")],
+        ["id", "text"],
+    )
+    # num_beams=1 via the beam machinery must equal the greedy path:
+    # GreedySampler is the 1-beam specialization (generation.rb:105-116)
+    greedy = {r.id: r.generated_text for r in generate_text(df, backend="hash").collect()}
+    beam1 = {
+        r.id: r.generated_text
+        for r in generate_text(df, backend="hash", num_beams=2, top_k=1).collect()
+    }
+    # top_k=1 makes every beam step deterministic-greedy regardless of width
+    assert beam1 == greedy
+    beams = {
+        r.id: r.generated_text
+        for r in generate_text(df, backend="hash", num_beams=3).collect()
+    }
+    b2 = {
+        r.id: r.generated_text
+        for r in generate_text(df, backend="hash", num_beams=3).collect()
+    }
+    assert beams == b2  # deterministic
+    for v in beams.values():
+        assert "</s>" not in v and len(v.split()) <= 8
