@@ -99,3 +99,36 @@ def test_stage_manifests_record_lineage(kg):
         m = json.load(open(path))
         assert m["rows"] >= 0 and "schema" in m and "wall_sec" in m
     assert metrics["files"]["sha256_range"] is not None
+
+
+def test_partial_resume_recomputes_only_missing_stage(spark, kg):
+    import os
+    import shutil
+
+    root, _ = kg
+    # wipe ONE mid-pipeline stage (table + manifest): a re-run must
+    # recompute exactly that stage and resume everything else
+    shutil.rmtree(os.path.join(root, "components"), ignore_errors=True)
+    os.remove(os.path.join(root, "components._manifest.json"))
+    metrics = build_kg(spark, generate_files(spark, n=N), root, backend="hash")
+    assert not metrics["components"].get("resumed")
+    for stage in ["files", "mentions", "embeddings", "triples_raw", "same_as"]:
+        assert metrics[stage].get("resumed"), f"{stage} should have resumed"
+    assert spark.read.parquet(f"{root}/components").count() > 0
+
+
+def test_empty_input_runs_all_stages(spark, tmp_path):
+    # schema-inference on zero-row tables is the classic crash; the
+    # warehouse's _schema.json sidecar must keep every stage readable
+    root = str(tmp_path / "kg_empty")
+    files = generate_files(spark, n=1).filter("file_id < 0")
+    metrics = build_kg(spark, files, root, backend="hash")
+    assert set(metrics) >= {"files", "mentions", "embeddings", "triples"}
+    # read-back of every empty table goes through the warehouse (the
+    # _schema.json sidecar exists precisely because bare parquet reads of
+    # zero-row tables fail schema inference)
+    from informers_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, root)
+    for t in ["files", "mentions", "embeddings", "triples_raw", "triples"]:
+        assert wh.read(t).count() == 0
