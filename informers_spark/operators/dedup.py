@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from informers_spark.functions.similarity import (
     cosine,
+    hamming_distance,
     jaccard,
     minhash_bands,
     minhash_signature,
@@ -115,6 +116,57 @@ def simhash_table(
     """→ (id, simhash) 31-bit portable SimHash per document."""
     return df.select(
         F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("simhash")
+    )
+
+
+def simhash_neardup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bits: int = 31,
+    bands: int = 4,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via banded pigeonhole blocking:
+    split the fingerprint into `bands` bit-slices; two hashes within
+    hamming distance < bands must agree on at least one slice, so the
+    candidate join is an equi-join on (band, slice) — never all-pairs.
+    Verified with the exact popcount(xor) distance ≤ max_hamming.
+    → (a, b, hamming). Same window-count bucket guard as the other
+    blocked dedups."""
+    base = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
+    )
+    width = (bits + bands - 1) // bands
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("band"),
+                F.shiftright(F.col("sh"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    blocks = (
+        base.select("id", "sh", F.explode(keys).alias("bk"))
+        .select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .withColumn("_bn", F.count("*").over(Window.partitionBy("band", "key")))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+            hamming_distance(F.col("a.sh"), F.col("b.sh"), bits).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -612,6 +612,41 @@ ORDER BY id
 """
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs via banded pigeonhole blocking (two hashes
+    within hamming < 4 bands must share a band slice); exact
+    popcount(xor) verify. Candidate set = block-collision pairs on both
+    engines, so parity holds for any recall level."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_neardup(docs, max_hamming=2).orderBy("a", "b")
+
+
+def _simhash_neardup_sql() -> str:
+    tok_fps = f"list_transform({_DUCK_TOKENS}, s -> {_DUCK_FP.format(S='s')})"
+    bits_expr = " + ".join(
+        f"CASE WHEN list_sum(list_transform(fps, x -> CASE WHEN ((x >> {b}) % 2) = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {2**b}::BIGINT ELSE 0::BIGINT END"
+        for b in range(31)
+    )
+    width = 8  # ceil(31/4)
+    bands = " UNION ALL ".join(
+        f"SELECT id, sh, {i} AS band, (sh >> {i * width}) & {(1 << width) - 1} AS key FROM sh"
+        for i in range(4)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, ({bits_expr}) AS sh
+  FROM (SELECT doc_id, {tok_fps} AS fps FROM documents)
+),
+blocks AS (SELECT * FROM ({bands}) QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 10000),
+pairs AS (
+  SELECT DISTINCT a.id AS a, b.id AS b, bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+  FROM blocks a JOIN blocks b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT a, b, hamming FROM pairs WHERE hamming <= 2 ORDER BY a, b
+"""
+
+
 def q_jaccard_sample(spark, sf_dir):
     """Brute-force exact 3-gram Jaccard over a small id range (the
     correctness baseline for the LSH path)."""
@@ -1217,6 +1252,7 @@ QUERIES = {
     "q_minhash_pairs": q_minhash_pairs,
     "q_minhash_pairs_fast": q_minhash_pairs_fast,
     "q_simhash": q_simhash,
+    "q_simhash_neardup": q_simhash_neardup,
     "q_jaccard_sample": q_jaccard_sample,
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_lsh": q_knn_lsh,
@@ -1261,6 +1297,7 @@ ORACLE_SQL = {
     "q_kw_mentions": Q_KW_MENTIONS_SQL,
     "q_minhash_pairs": Q_MINHASH_SQL,
     "q_simhash": _simhash_sql(),
+    "q_simhash_neardup": _simhash_neardup_sql(),
     "q_jaccard_sample": _jaccard_sample_sql(),
     "q_knn_bruteforce": Q_KNN_SQL,
     "q_knn_lsh": _knn_lsh_sql(),
