@@ -1046,6 +1046,40 @@ ORDER BY doc_id, candidate_label
 """
 
 
+def q_zero_shot_multi(spark, sf_dir):
+    """Zero-shot multi_label mode: per-pair softmax over [contradiction,
+    entailment] instead of the cross-label softmax
+    (reference: pipelines.rb:444-451, mode switch at :454)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id", "text")
+    out = zero_shot(docs, labels=ZS_LABELS, multi_label=True, backend="hash")
+    return out.select(
+        "doc_id", "candidate_label", F.round(F.col("score"), 4).alias("score")
+    ).orderBy("doc_id", "candidate_label")
+
+
+def _zero_shot_multi_sql() -> str:
+    # hash NLI logits: contradiction = 4*(1-overlap), entailment =
+    # 4*overlap with overlap = |premise∩hyp|/|hyp| (|hyp|=3, see
+    # _zero_shot_sql); pair score = softmax([con, ent])[ent]
+    stop = _STOP_SQL
+    toks = f"list_filter(list_distinct(list_transform({_DUCK_TOKENS}, t -> lower(t))), t -> NOT list_contains({stop}, t))"
+    labels = ", ".join(f"('{l}')" for l in ZS_LABELS)
+    return f"""
+WITH pt AS (SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 200),
+lab(candidate_label) AS (VALUES {labels}),
+pairs AS (
+  SELECT doc_id, candidate_label,
+         (len(list_filter(toks, t -> t = 'example' OR t = candidate_label)))::DOUBLE / 3.0 AS ov
+  FROM pt, lab
+)
+SELECT doc_id, candidate_label,
+       ROUND(EXP(4.0 * ov - GREATEST(4.0 * ov, 4.0 * (1.0 - ov)))
+             / (EXP(4.0 * ov - GREATEST(4.0 * ov, 4.0 * (1.0 - ov)))
+                + EXP(4.0 * (1.0 - ov) - GREATEST(4.0 * ov, 4.0 * (1.0 - ov)))), 4) AS score
+FROM pairs ORDER BY doc_id, candidate_label
+"""
+
+
 def q_rerank_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     pairs = docs.select("doc_id", F.lit(RERANK_QUERY).alias("query"), "text")
@@ -1265,6 +1299,7 @@ QUERIES = {
     "q_classify_docs": q_classify_docs,
     "q_classify_topk": q_classify_topk,
     "q_zero_shot_docs": q_zero_shot_docs,
+    "q_zero_shot_multi": q_zero_shot_multi,
     "q_rerank_docs": q_rerank_docs,
     "q_embed_docs": q_embed_docs,
     "q_ner_docs": q_ner_docs,
@@ -1309,6 +1344,7 @@ ORACLE_SQL = {
     "q_classify_docs": _classify_sql(),
     "q_classify_topk": _classify_topk_sql(),
     "q_zero_shot_docs": _zero_shot_sql(),
+    "q_zero_shot_multi": _zero_shot_multi_sql(),
     "q_rerank_docs": _rerank_sql(),
     "q_ner_docs": _ner_sql(),
     # q_qa_docs / q_fill_mask_docs / q_embed_docs / q_embed_binary_docs:
