@@ -109,6 +109,38 @@ class ForcedBOSTokenLogitsProcessor:
         return logits
 
 
+class ForcedEOSTokenLogitsProcessor:
+    """Parity stub: the reference's #call body is EMPTY (returns nil —
+    lib/informers/utils/generation.rb:282-292), so this is a documented
+    no-op, kept so generation configs that set forced_eos_token_id wire
+    up the same object graph."""
+
+    def __init__(self, max_length: int, forced_eos_token_id: int):
+        self.max_length = max_length
+        self.eos = forced_eos_token_id
+
+    def __call__(self, ids: list[int], logits: np.ndarray) -> np.ndarray:
+        return logits
+
+
+# GenerationConfig defaults the greedy/beam paths consult (subset of the
+# reference's ~40 keys, lib/informers/utils/generation.rb:3-73; keys the
+# v1 decode loop does not read are omitted rather than silently ignored)
+GENERATION_DEFAULTS = {
+    "max_length": 20,
+    "max_new_tokens": None,
+    "min_length": 0,
+    "num_beams": 1,
+    "temperature": 1.0,
+    "top_k": 50,
+    "do_sample": False,
+    "no_repeat_ngram_size": 0,
+    "forced_bos_token_id": None,
+    "forced_eos_token_id": None,
+    "num_return_sequences": 1,
+}
+
+
 def build_processors(
     eos_token_id: int,
     min_length: int = 0,
