@@ -40,6 +40,8 @@ HEADLINE = [
     "q_centroids",
     "q_cc_components",
     "q_embed_docs",
+    "q_generate_docs",
+    "q_simhash_neardup",
     "q_classify_docs",
     "q_zero_shot_docs",
     "q_ner_docs",

@@ -72,6 +72,16 @@ class OnnxBackend:
             self._decode_cache[tid] = s
         return s
 
+    def decode(self, ids: list[int], skip_special_tokens: bool = True) -> str:
+        """ids → string (reference: lib/informers/tokenizers.rb:121-123)."""
+        return self.tokenizer.decode(ids, skip_special_tokens=skip_special_tokens)
+
+    def batch_decode(self, ids_batch, skip_special_tokens: bool = True) -> list[str]:
+        """(reference: lib/informers/tokenizers.rb:137-139)."""
+        return self.tokenizer.decode_batch(
+            list(ids_batch), skip_special_tokens=skip_special_tokens
+        )
+
     def _run(self, encodings, output_names=None):
         feed = {}
         ids = np.array([e.ids for e in encodings], dtype=np.int64)
