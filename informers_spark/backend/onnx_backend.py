@@ -140,6 +140,21 @@ class OnnxBackend:
         outs, _ = self._run(enc)
         return outs[0][:, 0].astype(np.float32)
 
+    GEN_VOCAB: list[str] = []  # populated only by decoder-capable backends
+
+    def next_logits(self, contexts, generated):
+        """Decoder step — requires a decoder/seq2seq ONNX session with
+        KV-cache plumbing (reference: lib/informers/models.rb:665-689,
+        :429-463), which v1 does not load (encoder-only scope, SURVEY.md
+        §7.6). The deterministic hash backend provides the offline
+        generation path; raising here keeps the failure designed instead
+        of an AttributeError."""
+        raise NotImplementedError(
+            "OnnxBackend is encoder-only in v1; generation needs a decoder "
+            "session (reference: models.rb:665-689) — use backend='hash' "
+            "or stage a decoder-capable backend"
+        )
+
     def qa_batch(self, questions: list[str], contexts: list[str]):
         """Batched QA: ONE encode_batch + ONE session.run per Arrow batch
         (QA models emit start/end logits, reference models.rb:1541-1549).
