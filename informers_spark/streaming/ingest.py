@@ -66,6 +66,75 @@ def stream_extract_triples(
     return writer.start()
 
 
+def stateful_sessionize(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user session counting with
+    applyInPandasWithState — the arbitrary-state surface windowed aggs
+    can't express (session identity depends on the PREVIOUS event's
+    timestamp, not a fixed grid). State per user = (last event ts,
+    running session/event counts); each micro-batch folds its rows into
+    the state in event-time order and emits the user's updated totals.
+    State expires on processing-time timeout so it stays bounded.
+
+    → stream of (user_id, n_sessions, n_events) updates. Same semantics
+    as the batch gaps-and-islands sessionize (q_events_sessionize) when
+    events arrive in order."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        last_us, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # normalize to int64 MICROSECONDS regardless of the pandas
+            # datetime unit the Arrow bridge picked (ns vs us)
+            us = sorted(pdf["ts"].values.astype("datetime64[us]").astype("int64").tolist())
+            for u in us:
+                if last_us is None or u - last_us > gap_us:
+                    n_sessions += 1
+                n_events += 1
+                last_us = u
+        state.update((last_us, n_sessions, n_events))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "10 minutes",

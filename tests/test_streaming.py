@@ -54,3 +54,46 @@ def test_windowed_event_counts_batch_semantics(spark):
         for r in windowed_event_counts(ev, window="10 minutes").collect()
     }
     assert out == {(0, 2, 3.0), (10, 1, 4.0)}
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization over a one-batch replay must
+    equal the batch gaps-and-islands sessionize (q_events_sessionize)."""
+    import uuid
+
+    from informers_spark.queries import q_events_sessionize
+    from informers_spark.streaming.ingest import stateful_sessionize
+
+    sf_dir = "/root/testdata/sf0.001"
+    landing = str(tmp_path / "ev_landing")
+    os.makedirs(landing)
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(landing, "events.parquet"),
+    )
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(landing)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "ts")
+    )
+    name = "sess_" + uuid.uuid4().hex[:8]
+    q = (
+        stateful_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in spark.table(name).collect()
+    }
+    exp = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in q_events_sessionize(spark, sf_dir).collect()
+    }
+    assert got == exp
