@@ -88,7 +88,7 @@ MODEL_EMBED_OPTIONS = {
 }
 
 
-def embed_texts(df, text_col: str = "text", model_id: str | None = None, backend: str = "auto"):
+def embed_texts(df, text_col: str = "text", backend: str = "auto", model_id: str | None = None):
     """Convenience mirroring the legacy Model#embed
     (reference: lib/informers/model.rb:3-13): embedding defaults
     (mean pool + normalize) with per-model overrides applied by id."""

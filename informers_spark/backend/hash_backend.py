@@ -270,15 +270,41 @@ class HashBackend:
         tokens generated so far), as one [b, dim] @ [dim, V] matmul, plus
         an EOS logit that grows with the generated length (sequences
         terminate deterministically). Stands in for decoder_forward
-        (reference: lib/informers/models.rb:665-689) offline."""
-        words = self.GEN_VOCAB[:-1]
-        vocab_mat = np.stack([self._vec(w) / np.linalg.norm(self._vec(w)) for w in words])
+        (reference: lib/informers/models.rb:665-689) offline.
+
+        The decode loop calls this once PER STEP with the same contexts:
+        the normalized vocab matrix is cached on the instance and each
+        context's (token-vector sum, count) is memoized, so per step only
+        the newly generated tokens cost anything (mean over ctx+gen ==
+        (ctx_sum + Σ gen vecs) / (n_ctx + n_gen))."""
+        if not hasattr(self, "_gen_vocab_mat"):
+            words = self.GEN_VOCAB[:-1]
+            self._gen_vocab_mat = np.stack(
+                [self._vec(w) / np.linalg.norm(self._vec(w)) for w in words]
+            )
+            self._ctx_stats: dict[str, tuple[np.ndarray, int]] = {}
+        vocab_mat = self._gen_vocab_mat
+        if len(self._ctx_stats) > 100_000:  # bound memory across batches
+            self._ctx_stats.clear()
         means = np.zeros((len(contexts), self.dim), dtype=np.float32)
         for i, (ctx, gen) in enumerate(zip(contexts, generated)):
-            toks = [t for t, _, _ in tokenize_with_offsets(ctx)[: self.max_tokens]
-                    if t.lower() not in _STOP] + list(gen)
-            if toks:
-                mean = np.mean([self._vec(t) for t in toks], axis=0)
+            stats = self._ctx_stats.get(ctx)
+            if stats is None:
+                ctoks = [t for t in _TOKEN_RE.findall(ctx)[: self.max_tokens]
+                         if t.lower() not in _STOP]
+                csum = (
+                    np.sum([self._vec(t) for t in ctoks], axis=0)
+                    if ctoks else np.zeros(self.dim, dtype=np.float32)
+                )
+                stats = self._ctx_stats[ctx] = (csum.astype(np.float64), len(ctoks))
+            csum, n_ctx = stats
+            total = csum + (
+                np.sum([self._vec(t) for t in gen], axis=0, dtype=np.float64)
+                if gen else 0.0
+            )
+            n = n_ctx + len(gen)
+            if n:
+                mean = (total / n).astype(np.float32)
                 means[i] = mean / (np.linalg.norm(mean) + 1e-9)
         word_logits = (8.0 * (means @ vocab_mat.T)).astype(np.float32)  # [b, V-1]
         eos = np.array(

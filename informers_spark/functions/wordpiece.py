@@ -38,7 +38,7 @@ class WordPieceTokenizer:
         pieces: list[tuple[str, int, int]] = []
         pos = 0
         while pos < len(w):
-            if len(pieces) > self.max_subwords_per_word:
+            if len(pieces) >= self.max_subwords_per_word:
                 return None
             end = len(w)
             found = None

@@ -54,10 +54,27 @@ def asof_join(
 
     # right rows (side 0) sort before left rows at equal ts → ts_r <= ts_l;
     # right-side ties on (by, ts) break deterministically on the payload
-    # struct (lexicographic by field) — last() then always picks the max
+    # struct (lexicographic by field) — last() then always picks the max.
+    # Structs containing MapType are NOT orderable (AnalysisException), so
+    # the tiebreak is skipped for such payloads: ties then resolve
+    # arbitrarily, which is the best any engine offers for map payloads.
+    def _orderable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        return True
+
+    order_cols = [F.col(on).asc(), F.col("_side").asc()]
+    if _orderable(rt.schema["_rpay"].dataType):
+        order_cols.append(F.col("_rpay").asc_nulls_first())
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc(), F.col("_rpay").asc_nulls_first())
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(

@@ -123,7 +123,7 @@ def simhash_neardup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     bits: int = 31,
     bands: int = 4,
     max_bucket: int = 10_000,
@@ -134,7 +134,13 @@ def simhash_neardup(
     candidate join is an equi-join on (band, slice) — never all-pairs.
     Verified with the exact popcount(xor) distance ≤ max_hamming.
     → (a, b, hamming). Same window-count bucket guard as the other
-    blocked dedups."""
+    blocked dedups.
+
+    Recall contract: EXACT for max_hamming <= bands - 1 (pigeonhole);
+    for larger thresholds candidates are only block-collision pairs
+    (LSH-style partial recall) — raise `bands` to max_hamming + 1 for
+    guaranteed recall at a wider radius. Default keeps the two
+    consistent (3 = bands - 1)."""
     base = df.select(
         F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
     )

@@ -101,8 +101,14 @@ def zero_shot(
     # synthetic row id: the label explosion, scoring UDF and cross-label
     # softmax window all run on a SLIM (_zs_id, text) projection — the
     # payload columns never travel |labels| times and join back exactly
-    # once at the end (at corpus scale the payload dominates the bytes)
-    df = df.withColumn("_zs_id", F.monotonically_increasing_id())
+    # once at the end (at corpus scale the payload dominates the bytes).
+    # localCheckpoint PINS the ids: monotonically_increasing_id is only
+    # stable within one evaluation, and the join-back is a self-join —
+    # without the checkpoint each side could re-evaluate the lineage and
+    # assign DIFFERENT ids to the same row (scores attached to the wrong
+    # documents). The checkpoint is the stage boundary a warehouse write
+    # would give this step on a real pipeline anyway.
+    df = df.withColumn("_zs_id", F.monotonically_increasing_id()).localCheckpoint()
     pairs = df.select("_zs_id", text_col).crossJoin(F.broadcast(labels_df))
 
     schema = T.StructType(

@@ -43,16 +43,19 @@ TRIPLE_COLS = ["subj", "pred", "obj", "score", "src_sha256"]
 def salt_partition(df: DataFrame, partitions: int | None, *keys: str) -> DataFrame:
     """Repartition by (keys..., salt) — explicit skew-neutralizer: a hot
     key's rows spread over up to 64 tasks instead of one. The salt MUST be
-    row-distinct, not a function of the keys (hashing the keys again
-    yields exactly the distribution of repartition(keys) — a no-op);
-    monotonically_increasing_id is per-row by construction, and the salt
-    only steers shuffle placement, never output content, so its
-    retry-instability is harmless. The partition COUNT is left to AQE
-    (user-fixed counts disable adaptive coalescing, which blows up output
-    file counts at high core counts and under-splits at scale); pass
-    `partitions` only to override."""
+    (a) row-distinct, not a function of the keys alone (hashing the keys
+    again yields exactly the distribution of repartition(keys) — a no-op),
+    and (b) DETERMINISTIC: a nondeterministic shuffle key (rand,
+    monotonically_increasing_id) re-routes rows differently when a map
+    task is recomputed after a fetch failure, duplicating rows in some
+    reducers and losing them from others (the SPARK-23207 class of bug).
+    xxhash64 over every column satisfies both: identical duplicate rows
+    co-locate (bounded, rare), everything else spreads. The partition
+    COUNT is left to AQE (user-fixed counts disable adaptive coalescing,
+    which blows up output file counts at high core counts and
+    under-splits at scale); pass `partitions` only to override."""
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(64))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(64))
     )
     if partitions:
         out = salted.repartition(partitions, *keys, "_salt")

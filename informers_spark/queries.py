@@ -369,41 +369,48 @@ def q_stream_window(spark, sf_dir):
     Complete output mode: append would withhold the final (never-
     finalized) windows of a finite replay."""
     import os
+    import shutil
     import tempfile
-    import uuid
 
     from informers_spark.streaming.ingest import windowed_event_counts
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source requires a DIRECTORY to list; expose the
     # single events parquet through a temp dir symlink (a real deployment
-    # streams a landing directory anyway)
+    # streams a landing directory anyway); removed after the replay
     land = tempfile.mkdtemp(prefix="q_stream_window_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), os.path.join(land, "events.parquet")
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(land)
-        # watermarks need TIMESTAMP (event time); parquet stores NTZ — the
-        # session TZ is pinned UTC so the cast is value-preserving
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
-    out = windowed_event_counts(stream, window="10 minutes").select(
-        "window_start",
-        "event_type",
-        "n",
-        F.round(F.col("sum_value"), 6).alias("sum_value"),
-    )
-    name = "q_stream_window_" + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(land, "events.parquet"),
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(land)
+            # watermarks need TIMESTAMP (event time); parquet stores NTZ —
+            # the session TZ is pinned UTC so the cast is value-preserving
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        out = windowed_event_counts(stream, window="10 minutes").select(
+            "window_start",
+            "event_type",
+            "n",
+            F.round(F.col("sum_value"), 6).alias("sum_value"),
+        )
+        # fixed sink name, replaced per call — repeated bench/driver runs
+        # must not accumulate memory-sink tables in the catalog
+        name = "q_stream_window_sink"
+        spark.catalog.dropTempView(name)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
     return spark.table(name).orderBy("window_start", "event_type")
 
 
@@ -1358,7 +1365,11 @@ ORACLE_SQL = {
 # Spark output at the driver's gate sf (0.01) into committed parquet;
 # tests/test_frozen_fixtures.py re-runs the queries and asserts equality,
 # so a silent semantics change breaks CI before it breaks the driver.
-FIXTURE_DIR = "/root/repo/tests/fixtures"
+import os as _os
+
+FIXTURE_DIR = _os.path.normpath(
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", "tests", "fixtures")
+)
 FIXTURE_QUERIES = [
     "q_embed_docs",
     "q_embed_binary_docs",

@@ -109,17 +109,23 @@ def stateful_sessionize(
         last_us, n_sessions, n_events = (
             state.get if state.exists else (None, 0, 0)
         )
+        # a group's rows arrive as SEVERAL Arrow chunks in arbitrary
+        # shuffle-fetch order — collect all timestamps first and sort ONCE
+        # across the whole micro-batch (per-chunk sorting would fold
+        # later-fetched earlier events against a regressed last_us and
+        # mis-count sessions). Normalized to int64 MICROSECONDS regardless
+        # of the pandas datetime unit the Arrow bridge picked (ns vs us).
+        all_us: list[int] = []
         for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            # normalize to int64 MICROSECONDS regardless of the pandas
-            # datetime unit the Arrow bridge picked (ns vs us)
-            us = sorted(pdf["ts"].values.astype("datetime64[us]").astype("int64").tolist())
-            for u in us:
-                if last_us is None or u - last_us > gap_us:
-                    n_sessions += 1
-                n_events += 1
-                last_us = u
+            if len(pdf):
+                all_us.extend(
+                    pdf["ts"].values.astype("datetime64[us]").astype("int64").tolist()
+                )
+        for u in sorted(all_us):
+            if last_us is None or u - last_us > gap_us:
+                n_sessions += 1
+            n_events += 1
+            last_us = u
         state.update((last_us, n_sessions, n_events))
         state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(

@@ -228,3 +228,16 @@ def test_connected_components_raises_on_non_convergence(spark):
     m2: dict = {}
     full = connected_components(chain, metrics=m2, small_cutoff=0)
     assert m2["converged"] and full.filter("component != 0").count() == 0
+
+
+def test_asof_join_map_payload_does_not_crash(spark):
+    # MapType payloads are not orderable: the struct tiebreak must be
+    # skipped automatically instead of raising AnalysisException
+    from informers_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10, "l")], ["key", "ts", "lv"])
+    right = spark.createDataFrame(
+        [("k", 5, {"a": "1"})], "key string, ts int, attrs map<string,string>"
+    )
+    out = asof_join(left, right, on="ts", by="key", right_cols=["attrs"]).collect()[0]
+    assert out.attrs_r == {"a": "1"}
