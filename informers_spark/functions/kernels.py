@@ -63,6 +63,37 @@ def normalize(v: np.ndarray, axis: int = -1) -> np.ndarray:
     return v / n
 
 
+def interpolate(data: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear 2-D resize of a CHW tensor, vectorized; exact semantics of
+    the reference's scalar loop (lib/informers/utils/math.rb:3-71 via
+    utils/tensor.rb:46-62): half-pixel source centers, neighbor indices
+    clamped to the image, fractional weights computed against the CLAMPED
+    floor (so edge pixels extrapolate exactly like the reference).
+
+    data: [C, H, W] float; → [C, out_h, out_w] float64.
+    """
+    data = np.asarray(data, dtype=np.float64)
+    c, h, w = data.shape
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    x1 = np.maximum(np.floor(xs), 0).astype(np.int64)
+    y1 = np.maximum(np.floor(ys), 0).astype(np.int64)
+    x2 = np.minimum(np.floor(xs) + 1, w - 1).astype(np.int64)
+    y2 = np.minimum(np.floor(ys) + 1, h - 1).astype(np.int64)
+    s = xs - x1  # vs clamped floor, per the reference
+    t = ys - y1
+    w1 = np.outer(1 - t, 1 - s)  # [out_h, out_w]
+    w2 = np.outer(1 - t, s)
+    w3 = np.outer(t, 1 - s)
+    w4 = np.outer(t, s)
+    return (
+        w1 * data[:, y1[:, None], x1[None, :]]
+        + w2 * data[:, y1[:, None], x2[None, :]]
+        + w3 * data[:, y2[:, None], x1[None, :]]
+        + w4 * data[:, y2[:, None], x2[None, :]]
+    )
+
+
 def _get_tag(entity_name: str) -> tuple[str, str]:
     """Split 'B-PER' → ('B','PER'); non-prefixed tags default to I-continuation
     (reference: lib/informers/pipelines.rb:176-190)."""

@@ -99,8 +99,9 @@ def extract_image_features(
     decode_fn=auto_decode,
     resize_to: int = 8,
 ) -> DataFrame:
-    """Decode → bilinear-ish resize (numpy) → per-channel mean/std feature
-    vector. One mapInPandas; all input columns pass through."""
+    """Decode → bilinear resize (reference-parity interpolate kernel,
+    math.rb:3-71) → per-channel mean/std feature vector. One mapInPandas;
+    all input columns pass through."""
     schema = T.StructType(
         [f for f in df.schema.fields if f.name != payload_col]
         + [T.StructField("features", T.ArrayType(T.FloatType()))]
@@ -108,17 +109,17 @@ def extract_image_features(
     keep = [f.name for f in df.schema.fields if f.name != payload_col]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from informers_spark.functions.kernels import interpolate
+
         for pdf in batches:
             feats = []
             for payload in pdf[payload_col]:
                 img = decode_fn(bytes(payload)).astype(np.float32)
-                h, w, c = img.shape
-                # nearest-neighbor resample to resize_to x resize_to
-                yi = (np.arange(resize_to) * h // resize_to)
-                xi = (np.arange(resize_to) * w // resize_to)
-                small = img[np.ix_(yi, xi)]
+                # HWC → CHW, bilinear resize (processors.rb:219-330 chain
+                # resizes before normalize), then per-channel stats
+                small = interpolate(img.transpose(2, 0, 1), resize_to, resize_to)
                 feat = np.concatenate(
-                    [small.mean(axis=(0, 1)), small.std(axis=(0, 1))]
+                    [small.mean(axis=(1, 2)), small.std(axis=(1, 2))]
                 ).astype(np.float32)
                 feats.append(feat)
             out = pdf[keep].copy()

@@ -129,3 +129,43 @@ def test_ner_bio_merge_with_subword_inputs(spark):
     l = by_word["london"]
     assert l.entity_group == "LOC" and l.start == 23 and l.end == 29
     assert len(out) == 3  # no stray per-piece mentions
+
+
+def test_interpolate_matches_reference_scalar_loop():
+    """Vectorized bilinear resize vs a direct transcription of the
+    reference's scalar loop (math.rb:3-71): identical to the last ulp."""
+    import numpy as np
+
+    from informers_spark.functions.kernels import interpolate
+
+    def reference_loop(data, out_h, out_w):
+        c, h, w = data.shape
+        out = np.zeros((c, out_h, out_w))
+        x_scale, y_scale = out_w / w, out_h / h
+        for i in range(out_h):
+            for j in range(out_w):
+                x = (j + 0.5) / x_scale - 0.5
+                y = (i + 0.5) / y_scale - 0.5
+                x1, y1 = int(np.floor(x)), int(np.floor(y))
+                x2, y2 = min(x1 + 1, w - 1), min(y1 + 1, h - 1)
+                x1, y1 = max(x1, 0), max(y1, 0)
+                s, t = x - x1, y - y1
+                for k in range(c):
+                    out[k, i, j] = (
+                        (1 - s) * (1 - t) * data[k, y1, x1]
+                        + s * (1 - t) * data[k, y1, x2]
+                        + (1 - s) * t * data[k, y2, x1]
+                        + s * t * data[k, y2, x2]
+                    )
+        return out
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    img = rng.random((3, 7, 5))
+    for oh, ow in [(14, 10), (3, 3), (7, 5), (1, 1), (16, 2)]:
+        got = interpolate(img, oh, ow)
+        exp = reference_loop(img, oh, ow)
+        assert np.allclose(got, exp, rtol=0, atol=1e-12), (oh, ow)
+    # hand value: 2x upscale of [[0, 1]] -> half-pixel centers give
+    # [0, 0.25, 0.75, 1]
+    tiny = np.array([[[0.0, 1.0]]])
+    assert np.allclose(interpolate(tiny, 1, 4)[0, 0], [0.0, 0.25, 0.75, 1.0])
