@@ -155,7 +155,14 @@ def build_kg(
     if cc_metrics:
         metrics["components"].update(cc_metrics)
 
-    # 7. materialize
+    # 7. materialize — one logical phase, three tables. The triples write
+    # commits first (nodes/edges derive from its stored output, keeping
+    # per-table resume exact); nodes and edges then write CONCURRENTLY
+    # from separate driver threads — they are independent projections of
+    # the same stored table, and serializing them only added their
+    # commit latencies together (the tail of the job is commit-bound at
+    # small N; at 100 TB the same overlap hides one table's write behind
+    # the other's).
     def make_triples():
         canon_triples = (
             components.filter(F.col("node") != F.col("component"))
@@ -171,9 +178,8 @@ def build_kg(
 
     triples = stage("triples", make_triples, partition_by=["pred"])
 
-    stage(
-        "nodes",
-        lambda: (
+    def make_nodes():
+        return (
             triples.select(F.col("subj").alias("node_id"))
             .unionAll(triples.select(F.col("obj").alias("node_id")))
             .distinct()
@@ -182,13 +188,31 @@ def build_kg(
                 F.when(F.col("node_id").contains("/"), "repo").otherwise("entity"),
             )
             .withColumn("label", F.col("node_id"))
-        ),
-    )
-    stage(
-        "edges",
-        lambda: triples.select(
+        )
+
+    def make_edges():
+        return triples.select(
             F.col("subj").alias("src"), F.col("obj").alias("dst"), "pred", "score"
-        ),
-        partition_by=["pred"],
-    )
+        )
+
+    import threading
+
+    errors: list[BaseException] = []
+
+    def run_stage(name, make, partition_by=None):
+        try:
+            stage(name, make, partition_by=partition_by)
+        except BaseException as e:  # surface thread failures to the caller
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=run_stage, args=("nodes", make_nodes)),
+        threading.Thread(target=run_stage, args=("edges", make_edges, ["pred"])),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
     return metrics
