@@ -35,30 +35,39 @@ DEFINE_PATTERNS = {
 }
 
 
-def _extract_for(df: DataFrame, patterns: dict[str, str], pred: str) -> DataFrame:
+def _lang_extract_expr(patterns: dict[str, str]):
     expr = F.array().cast("array<string>")
     for lang, pat in patterns.items():
         expr = F.when(
             F.col("lang") == lang,
             F.regexp_extract_all(F.col("content"), F.lit(pat), F.lit(1)),
         ).otherwise(expr)
+    return expr
+
+
+def extract_structural_triples(files: DataFrame) -> DataFrame:
+    """(repo, defines, symbol) ∪ (repo, imports, module) — in ONE pass:
+    both pattern families evaluate on the same scanned row and the tagged
+    results explode together. A unionAll of two per-predicate branches
+    would scan (and snappy-decode) the full content column twice — at
+    corpus scale the scan IS the cost of this stage."""
+    tag = lambda pred, arr: F.transform(  # noqa: E731
+        arr, lambda o: F.struct(F.lit(pred).alias("pred"), o.alias("obj"))
+    )
+    both = F.concat(
+        tag("defines", _lang_extract_expr(DEFINE_PATTERNS)),
+        tag("imports", _lang_extract_expr(IMPORT_PATTERNS)),
+    )
     return (
-        df.withColumn("obj", F.explode(expr))
+        files.withColumn("po", F.explode(both))
         .select(
             F.col("repo").alias("subj"),
-            F.lit(pred).alias("pred"),
-            F.col("obj"),
+            F.col("po.pred").alias("pred"),
+            F.col("po.obj").alias("obj"),
             F.lit(1.0).cast("float").alias("score"),
             F.col("content_sha256").alias("src_sha256"),
         )
     )
-
-
-def extract_structural_triples(files: DataFrame) -> DataFrame:
-    """(repo, defines, symbol) ∪ (repo, imports, module)."""
-    defines = _extract_for(files, DEFINE_PATTERNS, "defines")
-    imports = _extract_for(files, IMPORT_PATTERNS, "imports")
-    return defines.unionAll(imports)
 
 
 def extract_mention_triples(
