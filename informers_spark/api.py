@@ -6,22 +6,37 @@ SUPPORTED_TASKS registry at :1083-1327, aliases at :1329-1333). Here a
 task name resolves to a DataFrame → DataFrame transform, so a reference
 user's `pipeline("ner").("text")` becomes `pipeline("ner")(df)`.
 
-Task registry mirrors the reference's implemented text tasks; vision /
-audio / generation tasks raise NotImplementedError with the reference
-citation (they are stubs upstream too or out of the KG scope —
-SURVEY.md §7.6).
+Task registry mirrors the reference's 22-task SUPPORTED_TASKS surface;
+tasks that raise Todo upstream (automatic-speech-recognition's whisper
+path, pipelines.rb:985-987) raise NotImplementedError with the citation.
 """
 
 from __future__ import annotations
 
 from functools import partial
 
+from informers_spark.pipelines.audio import (
+    audio_classify,
+    text_to_audio,
+    zero_shot_audio_classify,
+)
 from informers_spark.pipelines.classify import classify, zero_shot
 from informers_spark.pipelines.embed import embed
 from informers_spark.pipelines.generate import generate_text, summarize, translate
 from informers_spark.pipelines.ner import ner
 from informers_spark.pipelines.qa import fill_mask, question_answering
 from informers_spark.pipelines.rerank import rerank
+from informers_spark.pipelines.vision import (
+    depth_estimate,
+    image_classify,
+    image_feature_extract,
+    image_segment,
+    image_to_image,
+    image_to_text,
+    object_detect,
+    zero_shot_image_classify,
+    zero_shot_object_detect,
+)
 
 # reference alias map (pipelines.rb:1329-1333)
 TASK_ALIASES = {
@@ -46,17 +61,27 @@ SUPPORTED_TASKS = {
     "summarization": summarize,
     "translation": translate,
     "text-generation": partial(generate_text, return_full_text=True),
+    # vision (pipelines.rb:499-1040; preprocess chain processors.rb:219-330)
+    "image-classification": image_classify,
+    "image-feature-extraction": image_feature_extract,
+    "zero-shot-image-classification": zero_shot_image_classify,
+    "object-detection": object_detect,
+    "zero-shot-object-detection": zero_shot_object_detect,
+    "image-segmentation": image_segment,
+    "depth-estimation": depth_estimate,
+    "image-to-image": image_to_image,
+    "image-to-text": image_to_text,
+    # audio (pipelines.rb:801-971)
+    "audio-classification": audio_classify,
+    "zero-shot-audio-classification": zero_shot_audio_classify,
+    "text-to-audio": text_to_audio,
 }
 
 _OUT_OF_SCOPE = {
-    # task name → reference location of the upstream implementation
-    "image-classification": "pipelines.rb:520-548 (vision)",
-    "image-segmentation": "pipelines.rb:551-625",
-    "object-detection": "pipelines.rb:671-704",
-    "automatic-speech-recognition": "pipelines.rb:973-988 (raises Todo upstream)",
-    "audio-classification": "pipelines.rb:895-928",
-    "image-to-text": "pipelines.rb:499-518",
-    "text-to-audio": "pipelines.rb:801-819",
+    # task name → reference location: these raise Todo UPSTREAM too
+    "automatic-speech-recognition": "pipelines.rb:985-987 (call_whisper raises Todo)",
+    "document-question-answering": "pipelines.rb:760-799 (Donut generate; decoder "
+    "tokenizer raises Todo via processors.rb:393-420 path offline)",
 }
 
 

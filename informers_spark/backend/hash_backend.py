@@ -312,6 +312,229 @@ class HashBackend:
         )[:, None]
         return list(self.GEN_VOCAB), np.concatenate([word_logits, eos], axis=1)
 
+    # --- vision / audio forwards ----------------------------------------------
+    # Deterministic stand-ins for the ONNX vision/audio model forwards:
+    # every output is a pure function of the input tensor (pooled grid
+    # features x md5-seeded weights), so results are stable across
+    # executors, partitionings, and runs — the same contract the text
+    # forwards above satisfy. The pipelines' post-processing on top is
+    # exact reference parity (functions/vision.py).
+
+    IMAGE_LABELS = [
+        "cat", "dog", "bird", "fish", "car", "tree", "house", "person",
+        "boat", "plane", "flower", "horse", "book", "chair", "phone", "cup",
+    ]
+    AUDIO_LABELS = [
+        "speech", "music", "dog_bark", "siren", "rain", "engine", "applause", "silence",
+    ]
+
+    def _image_feature(self, pixel_values: np.ndarray) -> np.ndarray:
+        """[B,C,H,W] -> [B, C*18] pooled features: bilinear 4x4 grid per
+        channel + per-channel mean/std. Content-deterministic."""
+        from informers_spark.functions.kernels import interpolate
+
+        px = np.asarray(pixel_values, dtype=np.float64)
+        b, c = px.shape[0], px.shape[1]
+        feats = np.empty((b, c * 18), dtype=np.float64)
+        for i in range(b):
+            grid = interpolate(px[i], 4, 4).reshape(c, 16)
+            feats[i] = np.concatenate(
+                [grid, px[i].mean(axis=(1, 2))[:, None], px[i].std(axis=(1, 2))[:, None]],
+                axis=1,
+            ).reshape(-1)
+        return feats.astype(np.float32)
+
+    def _proj(self, name: str, rows: int, cols: int) -> np.ndarray:
+        """Seeded weight matrix keyed by (name, shape); cached."""
+        key = f"{name}:{rows}x{cols}"
+        w = self._vec_cache.get(key)
+        if w is None:
+            seed = int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "little")
+            rng = np.random.Generator(np.random.PCG64(seed))
+            w = (rng.standard_normal((rows, cols)) / np.sqrt(rows)).astype(np.float32)
+            self._vec_cache[key] = w
+        return w
+
+    @staticmethod
+    def _content_seed(arr: np.ndarray, salt: str = "") -> int:
+        """Stable per-image seed from the (rounded) tensor bytes."""
+        b = np.round(np.asarray(arr, dtype=np.float64), 6).tobytes()
+        return int.from_bytes(hashlib.md5(salt.encode() + b).digest()[:8], "little")
+
+    def image_forward(self, pixel_values: np.ndarray, labels: list[str] | None = None):
+        """Classification head: pooled features x per-label seeded vectors
+        -> logits [B, n_labels] (forward stand-in for
+        reference pipelines.rb:525-527 model call)."""
+        labels = labels or self.IMAGE_LABELS
+        f = self._image_feature(pixel_values)
+        w = np.stack([
+            _token_vector(f"imgcls:{lbl}", f.shape[1]) for lbl in labels
+        ])  # [L, F]
+        return (f @ w.T) / np.sqrt(f.shape[1]), list(labels)
+
+    def image_embed(self, pixel_values: np.ndarray) -> np.ndarray:
+        """Raw hidden features [B, dim] (ImageFeatureExtraction forward,
+        reference pipelines.rb:884-893 returns outputs[0])."""
+        f = self._image_feature(pixel_values)
+        return f @ self._proj("imgembed", f.shape[1], self.dim)
+
+    def clip_scores(self, pixel_values: np.ndarray, texts: list[str]) -> np.ndarray:
+        """logits_per_image [B, n_texts]: scaled cosine of image embedding
+        vs text embedding in the shared hash space (CLIP forward stand-in,
+        reference pipelines.rb:646-651)."""
+        img = self.image_embed(pixel_values)
+        img = img / (np.linalg.norm(img, axis=1, keepdims=True) + 1e-9)
+        txt = self.mean_encode(texts)
+        txt = txt / (np.linalg.norm(txt, axis=1, keepdims=True) + 1e-9)
+        return 10.0 * (img @ txt.T)
+
+    def detect_forward(
+        self,
+        pixel_values: np.ndarray,
+        labels: list[str] | None = None,
+        num_boxes: int = 8,
+    ):
+        """DETR-style forward stand-in: (logits [B, nb, n_labels+1],
+        boxes [B, nb, 4] center-format in [0,1]). Last class id is
+        background (processors.rb:703-706 skips it). Box geometry is
+        seeded from image content; class logits come from pooled features
+        so detection is content-deterministic."""
+        labels = labels or self.IMAGE_LABELS
+        px = np.asarray(pixel_values, dtype=np.float64)
+        b = px.shape[0]
+        nl = len(labels) + 1  # + background
+        f = self._image_feature(px)
+        logits = np.empty((b, num_boxes, nl), dtype=np.float32)
+        boxes = np.empty((b, num_boxes, 4), dtype=np.float32)
+        for i in range(b):
+            rng = np.random.Generator(np.random.PCG64(self._content_seed(px[i], "det")))
+            cxy = rng.uniform(0.2, 0.8, size=(num_boxes, 2))
+            wh = rng.uniform(0.05, 0.3, size=(num_boxes, 2))
+            boxes[i] = np.concatenate([cxy, wh], axis=1)
+            w = np.stack([
+                _token_vector(f"det:{j}:{lbl}", f.shape[1])
+                for j in range(num_boxes)
+                for lbl in (list(labels) + ["<bg>"])
+            ]).reshape(num_boxes, nl, f.shape[1])
+            logits[i] = (w @ f[i]) / np.sqrt(f.shape[1]) * 3.0
+        return logits, boxes, list(labels)
+
+    def segment_forward(
+        self,
+        pixel_values: np.ndarray,
+        labels: list[str] | None = None,
+        num_queries: int = 6,
+        mask_hw: tuple[int, int] = (16, 16),
+    ):
+        """MaskFormer-style forward stand-in: (class_logits [B, nq,
+        n_labels+1], mask_logits [B, nq, h, w] in (0,1)). Masks are smooth
+        seeded blobs; class logits from pooled features."""
+        labels = labels or self.IMAGE_LABELS
+        px = np.asarray(pixel_values, dtype=np.float64)
+        b = px.shape[0]
+        nl = len(labels) + 1
+        h, w = mask_hw
+        f = self._image_feature(px)
+        cls = np.empty((b, num_queries, nl), dtype=np.float32)
+        masks = np.empty((b, num_queries, h, w), dtype=np.float32)
+        yy, xx = np.mgrid[0:h, 0:w]
+        for i in range(b):
+            rng = np.random.Generator(np.random.PCG64(self._content_seed(px[i], "seg")))
+            for q in range(num_queries):
+                cy, cx = rng.uniform(0.15, 0.85, 2) * (h, w)
+                r = rng.uniform(0.15, 0.4) * min(h, w)
+                d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+                masks[i, q] = 1.0 / (1.0 + np.exp((np.sqrt(d2) - r)))
+                wq = np.stack([
+                    _token_vector(f"seg:{q}:{lbl}", f.shape[1])
+                    for lbl in (list(labels) + ["<bg>"])
+                ])
+                cls[i, q] = (wq @ f[i]) / np.sqrt(f.shape[1]) * 3.0
+        return cls, masks, list(labels)
+
+    def depth_forward(self, pixel_values: np.ndarray) -> np.ndarray:
+        """Predicted depth [B, H/2, W/2]: smoothed channel-mean intensity
+        (deterministic monocular-depth stand-in; the pipeline's
+        interpolate-to-original + 255/max formatting is exact parity,
+        reference pipelines.rb:1014-1040)."""
+        from informers_spark.functions.kernels import interpolate
+
+        px = np.asarray(pixel_values, dtype=np.float64)
+        b, _, h, w = px.shape
+        oh, ow = max(h // 2, 1), max(w // 2, 1)
+        return np.stack([
+            interpolate(px[i].mean(axis=0, keepdims=True), oh, ow)[0] + 2.0
+            for i in range(b)
+        ])
+
+    def image_to_image_forward(self, pixel_values: np.ndarray) -> np.ndarray:
+        """Super-resolution stand-in: 2x bilinear upscale in [0,1] space
+        (the pipeline clamps(0,1)*255 rounds, pipelines.rb:996-1005)."""
+        from informers_spark.functions.kernels import interpolate
+
+        px = np.asarray(pixel_values, dtype=np.float64)
+        b, _c, h, w = px.shape
+        return np.stack([interpolate(px[i], h * 2, w * 2) for i in range(b)])
+
+    def caption_contexts(self, pixel_values: np.ndarray, top_words: int = 4) -> list[str]:
+        """Bridge image->text generation: the top vocab words by cosine
+        against the image embedding become the decode 'context', which
+        next_logits then extends (ImageToText = pixels -> generate,
+        reference pipelines.rb:499-518)."""
+        img = self.image_embed(pixel_values)
+        img = img / (np.linalg.norm(img, axis=1, keepdims=True) + 1e-9)
+        words = self.GEN_VOCAB[:-1]
+        vocab = np.stack([self._vec(t) / np.linalg.norm(self._vec(t)) for t in words])
+        sims = img @ vocab.T
+        order = np.argsort(-sims, axis=1)[:, :top_words]
+        return [" ".join(words[j] for j in row) for row in order]
+
+    def _audio_feature(self, waveform: np.ndarray) -> np.ndarray:
+        """1-D PCM -> 20-dim feature: mean/std/zero-cross rate + energy of
+        16 rfft bands over the first 2048 samples."""
+        x = np.asarray(waveform, dtype=np.float64)
+        head = x[:2048]
+        spec = np.abs(np.fft.rfft(head, n=2048))
+        bands = spec[: 1024].reshape(16, 64).mean(axis=1)
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(head).astype(np.int8))))) if len(head) > 1 else 0.0
+        return np.concatenate([
+            [x.mean(), x.std(), zcr, np.abs(x).max() if len(x) else 0.0],
+            np.log1p(bands),
+        ]).astype(np.float32)
+
+    def audio_forward(self, waveforms: list[np.ndarray], labels: list[str] | None = None):
+        """Audio classification forward: per-clip spectral features x
+        seeded label weights -> logits [B, n_labels]
+        (reference pipelines.rb:905-911)."""
+        labels = labels or self.AUDIO_LABELS
+        f = np.stack([self._audio_feature(wv) for wv in waveforms])
+        w = np.stack([_token_vector(f"audcls:{lbl}", f.shape[1]) for lbl in labels])
+        return (f @ w.T) / np.sqrt(f.shape[1]), list(labels)
+
+    def clap_scores(self, waveforms: list[np.ndarray], texts: list[str]) -> np.ndarray:
+        """logits_per_audio [B, n_texts]: scaled cosine of audio feature
+        projection vs text embeddings (CLAP stand-in, pipelines.rb:953-957)."""
+        f = np.stack([self._audio_feature(wv) for wv in waveforms])
+        aud = f @ self._proj("audembed", f.shape[1], self.dim)
+        aud = aud / (np.linalg.norm(aud, axis=1, keepdims=True) + 1e-9)
+        txt = self.mean_encode(texts)
+        txt = txt / (np.linalg.norm(txt, axis=1, keepdims=True) + 1e-9)
+        return 10.0 * (aud @ txt.T)
+
+    def text_to_waveform(self, texts: list[str], sampling_rate: int = 16000):
+        """Vocoder stand-in: each text's mean embedding seeds a short sum
+        of sines; deterministic in the text. Returns (waveforms list of
+        f32 arrays, sampling_rate) — TextToAudio waveform branch
+        (reference pipelines.rb:801-819)."""
+        emb = self.mean_encode(texts)
+        out = []
+        t = np.arange(sampling_rate // 10, dtype=np.float64) / sampling_rate  # 100ms
+        for i in range(len(texts)):
+            freqs = 200.0 + 50.0 * np.abs(emb[i][:4])
+            wave = sum(np.sin(2 * np.pi * fq * t) for fq in freqs) / 4.0
+            out.append(wave.astype(np.float32))
+        return out, sampling_rate
+
     # --- reranking path ------------------------------------------------------
     def rerank(self, queries: list[str], docs: list[str]) -> np.ndarray:
         out = np.zeros(len(queries), dtype=np.float32)

@@ -58,6 +58,58 @@ def make_synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_from_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    kind: str = "image",
+    max_side: int = 24,
+    audio_samples: int = 4096,
+) -> DataFrame:
+    """Distributed synthetic media: one payload per input row, seeded by
+    the row id — generated INSIDE the executors (mapInPandas), so the
+    media table scales with the input scan instead of being driver-built
+    like make_synthetic_media. Deterministic per id regardless of
+    partitioning. kind='image' → ISMM-headered HWC bytes;
+    kind='audio' → f32le PCM (the ffmpeg decode shape,
+    reference utils/ffmpeg.rb:28-42)."""
+    schema = T.StructType(
+        [df.schema[id_col]]
+        + [
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid in pdf[id_col]:
+                i = int(rid)
+                rng = np.random.Generator(np.random.PCG64(1_000_003 * i + 7))
+                if kind == "image":
+                    w = 8 + (i * 7) % (max_side - 7)
+                    h = 8 + (i * 11) % (max_side - 7)
+                    body = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+                    payload = _MAGIC + struct.pack("<HHH", w, h, 3) + body.tobytes()
+                    rows.append((rid, bytearray(payload), w, h, None))
+                else:
+                    t = np.arange(audio_samples, dtype=np.float64) / 16000.0
+                    f0 = 100.0 + (i % 40) * 25.0
+                    wave = (
+                        np.sin(2 * np.pi * f0 * t)
+                        + 0.3 * np.sin(2 * np.pi * 2 * f0 * t)
+                        + 0.1 * rng.standard_normal(audio_samples)
+                    ).astype(np.float32)
+                    rows.append((rid, bytearray(wave.tobytes()), None, None, 16000))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "payload", "width", "height", "sample_rate"]
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)
+
+
 def fake_decode(payload: bytes) -> np.ndarray:
     """Parse the synthetic header → HWC uint8 array. Raises on foreign
     bytes (auto_decode routes those to a real decoder when one exists)."""

@@ -76,6 +76,42 @@ def _beam_decode(
     return [beams[ri][0]["ids"] for ri in range(b)]
 
 
+def greedy_decode(
+    be,
+    contexts: list[str],
+    max_new_tokens: int = 8,
+    procs=(),
+) -> list[str]:
+    """Greedy decode of a context batch: one batched forward per step,
+    finished rows drop out (generate loop, models.rb:214-349 with
+    GreedySampler, utils/generation.rb:119-131). Shared by the text
+    pipelines below and image-to-text (pipelines.rb:499-518)."""
+    vocab = list(be.GEN_VOCAB)
+    eos_id = len(vocab) - 1
+    b = len(contexts)
+    gen_ids: list[list[int]] = [[eos_id] for _ in range(b)]
+    done = [False] * b
+    for _ in range(max_new_tokens):
+        active = [i for i in range(b) if not done[i]]
+        if not active:
+            break
+        _, logits = be.next_logits(
+            [contexts[i] for i in active],
+            [[vocab[t] for t in gen_ids[i][1:]] for i in active],
+        )
+        logits = logits.astype(np.float64)
+        for j, i in enumerate(active):
+            row = logits[j]
+            for p in procs:
+                row = p(gen_ids[i], row)
+            t = greedy_sample(row)
+            if t == eos_id:
+                done[i] = True
+            else:
+                gen_ids[i].append(t)
+    return [" ".join(vocab[t] for t in ids[1:]) for ids in gen_ids]
+
+
 def generate_text(
     df: DataFrame,
     text_col: str = "text",

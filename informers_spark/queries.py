@@ -1186,6 +1186,136 @@ def q_generate_docs(spark, sf_dir):
     return out.select("doc_id", "generated_text").orderBy("doc_id")
 
 
+def _media(spark, sf_dir, kind: str, limit: int):
+    """Synthetic media table seeded per doc_id (executor-side generation,
+    operators/multimodal.py:media_from_documents) — the vision/audio
+    queries' input. Deterministic regardless of partitioning."""
+    from informers_spark.operators.multimodal import media_from_documents
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < limit)
+    return media_from_documents(docs, kind=kind).select("doc_id", "payload")
+
+
+def q_image_classify(spark, sf_dir):
+    """Image classification top-3 (preprocess chain processors.rb:219-330,
+    pipeline pipelines.rb:520-548). Fixture oracle: md5-seeded weights."""
+    from informers_spark.pipelines.vision import image_classify
+
+    out = image_classify(_media(spark, sf_dir, "image", 100), top_k=3, backend="hash")
+    return out.select("doc_id", "label", "score", "rank").orderBy("doc_id", "rank")
+
+
+def q_zero_shot_image(spark, sf_dir):
+    """CLIP-style zero-shot image classification (pipelines.rb:627-668)."""
+    from informers_spark.pipelines.vision import zero_shot_image_classify
+
+    out = zero_shot_image_classify(
+        _media(spark, sf_dir, "image", 60),
+        candidate_labels=["cat", "dog", "car", "tree"],
+        backend="hash",
+    )
+    return out.select("doc_id", "label", "score", "rank").orderBy("doc_id", "rank")
+
+
+def q_object_detect(spark, sf_dir):
+    """DETR-style detection, one row per box, reference post-processing
+    (processors.rb:668-730, pipelines.rb:671-704)."""
+    from informers_spark.pipelines.vision import object_detect
+
+    out = object_detect(_media(spark, sf_dir, "image", 60), backend="hash")
+    return out.select(
+        "doc_id", "label", "score", "xmin", "ymin", "xmax", "ymax"
+    ).orderBy("doc_id", "label", "score", "xmin")
+
+
+def q_image_embed(spark, sf_dir):
+    """Image feature extraction (pipelines.rb:884-893), canonicalized to
+    a csv string like q_embed_docs (driver-hashable)."""
+    from informers_spark.pipelines.vision import image_feature_extract
+
+    out = image_feature_extract(_media(spark, sf_dir, "image", 100), backend="hash")
+    return out.select(
+        "doc_id",
+        F.size("features").alias("dim"),
+        F.array_join(
+            F.transform(F.col("features"), lambda x: F.format_string("%.4f", x.cast("double"))), ","
+        ).alias("feat_csv"),
+    ).orderBy("doc_id")
+
+
+def q_image_segment(spark, sf_dir):
+    """Panoptic-style segmentation -> (label, score, pixel_count) per
+    segment (pipelines.rb:551-625, processors.rb:446-596)."""
+    from informers_spark.pipelines.vision import image_segment
+
+    out = image_segment(_media(spark, sf_dir, "image", 60), threshold=0.3, backend="hash")
+    return out.select("doc_id", "label", "score", "pixel_count").orderBy(
+        "doc_id", "label", "score"
+    )
+
+
+def q_depth_docs(spark, sf_dir):
+    """Depth estimation summary (interpolate-to-original + 255/max
+    formatting, pipelines.rb:1014-1040)."""
+    from informers_spark.pipelines.vision import depth_estimate
+
+    out = depth_estimate(_media(spark, sf_dir, "image", 60), backend="hash")
+    return out.select("doc_id", "depth_h", "depth_w", "depth_mean", "depth_max").orderBy("doc_id")
+
+
+def q_image_caption(spark, sf_dir):
+    """Image-to-text: pixels -> greedy generate -> decode
+    (pipelines.rb:499-518; loop models.rb:214-349)."""
+    from informers_spark.pipelines.vision import image_to_text
+
+    out = image_to_text(_media(spark, sf_dir, "image", 30), backend="hash")
+    return out.select("doc_id", "generated_text").orderBy("doc_id")
+
+
+def q_image_to_image(spark, sf_dir):
+    """Image-to-image 2x upscale: clamp(0,1)*255 round output
+    (pipelines.rb:990-1012), canonicalized to dims + content hash."""
+    from informers_spark.pipelines.vision import image_to_image
+
+    out = image_to_image(_media(spark, sf_dir, "image", 60), backend="hash")
+    return out.select(
+        "doc_id", "out_h", "out_w", F.xxhash64("out_payload").alias("payload_hash")
+    ).orderBy("doc_id")
+
+
+def q_audio_classify(spark, sf_dir):
+    """Audio classification top-3 with zero-mean unit-var normalize
+    (pipelines.rb:895-928; processors.rb:749-772)."""
+    from informers_spark.pipelines.audio import audio_classify
+
+    out = audio_classify(_media(spark, sf_dir, "audio", 60), top_k=3, backend="hash")
+    return out.select("doc_id", "label", "score", "rank").orderBy("doc_id", "rank")
+
+
+def q_zero_shot_audio(spark, sf_dir):
+    """CLAP-style zero-shot audio classification (pipelines.rb:930-971)."""
+    from informers_spark.pipelines.audio import zero_shot_audio_classify
+
+    out = zero_shot_audio_classify(
+        _media(spark, sf_dir, "audio", 60),
+        candidate_labels=["music", "speech", "rain"],
+        backend="hash",
+    )
+    return out.select("doc_id", "label", "score").orderBy("doc_id", "label")
+
+
+def q_text_to_audio(spark, sf_dir):
+    """Text-to-audio waveform branch (pipelines.rb:801-819),
+    canonicalized to (rate, n_samples, content hash)."""
+    from informers_spark.pipelines.audio import text_to_audio
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select("doc_id", "text")
+    out = text_to_audio(docs, backend="hash")
+    return out.select(
+        "doc_id", "sampling_rate", "n_samples", F.xxhash64("audio").alias("audio_hash")
+    ).orderBy("doc_id")
+
+
 def q_ner_docs(spark, sf_dir):
     """NER over initcap'd text (the synthetic docs are lowercase; initcap
     makes multi-char tokens candidates so the BIO path is exercised for
@@ -1313,6 +1443,17 @@ QUERIES = {
     "q_qa_docs": q_qa_docs,
     "q_fill_mask_docs": q_fill_mask_docs,
     "q_embed_binary_docs": q_embed_binary_docs,
+    "q_image_classify": q_image_classify,
+    "q_zero_shot_image": q_zero_shot_image,
+    "q_object_detect": q_object_detect,
+    "q_image_embed": q_image_embed,
+    "q_image_segment": q_image_segment,
+    "q_depth_docs": q_depth_docs,
+    "q_image_caption": q_image_caption,
+    "q_image_to_image": q_image_to_image,
+    "q_audio_classify": q_audio_classify,
+    "q_zero_shot_audio": q_zero_shot_audio,
+    "q_text_to_audio": q_text_to_audio,
 }
 
 ORACLE_SQL = {
@@ -1376,6 +1517,18 @@ FIXTURE_QUERIES = [
     "q_qa_docs",
     "q_fill_mask_docs",
     "q_generate_docs",
+    # vision/audio: md5-seeded forwards, reference-parity post-processing
+    "q_image_classify",
+    "q_zero_shot_image",
+    "q_object_detect",
+    "q_image_embed",
+    "q_image_segment",
+    "q_depth_docs",
+    "q_image_caption",
+    "q_image_to_image",
+    "q_audio_classify",
+    "q_zero_shot_audio",
+    "q_text_to_audio",
 ]
 for _fq in FIXTURE_QUERIES:
     ORACLE_SQL[_fq] = f"SELECT * FROM '{FIXTURE_DIR}/{_fq}.parquet'"
