@@ -1,0 +1,66 @@
+"""Hub resolution tests: local-first, cache-key revisions, optional-file
+semantics (reference hub.rb:118-220) — all offline."""
+
+import json
+import os
+
+import pytest
+
+from informers_spark.sources import hub
+
+
+def test_local_model_dir_wins(tmp_path):
+    d = tmp_path / "mymodel"
+    d.mkdir()
+    (d / "config.json").write_text('{"model_type": "bert"}')
+    got = hub.get_model_file(str(d), "config.json", cache_dir=str(tmp_path / "cache"))
+    assert got == str(d / "config.json")
+
+
+def test_cache_hit_and_revision_keys(tmp_path):
+    cache = hub.FileCache(str(tmp_path / "cache"))
+    cache.put("org/repo/tokenizer.json", b"{}")
+    got = hub.get_model_file(
+        "org/repo", "tokenizer.json", cache_dir=str(tmp_path / "cache"),
+        local_files_only=True,
+    )
+    assert got and got.endswith(os.path.join("org", "repo", "tokenizer.json"))
+    # a pinned revision uses a different key (hub.rb:143-145)
+    with pytest.raises(FileNotFoundError):
+        hub.get_model_file(
+            "org/repo", "tokenizer.json", cache_dir=str(tmp_path / "cache"),
+            revision="v2", local_files_only=True,
+        )
+    cache.put("org/repo/v2/tokenizer.json", b"{}")
+    got2 = hub.get_model_file(
+        "org/repo", "tokenizer.json", cache_dir=str(tmp_path / "cache"),
+        revision="v2", local_files_only=True,
+    )
+    assert got2 and "v2" in got2
+
+
+def test_optional_file_returns_none_and_json_empty(tmp_path):
+    got = hub.get_model_file(
+        "org/repo", "missing.json", fatal=False,
+        cache_dir=str(tmp_path / "cache"), local_files_only=True,
+    )
+    assert got is None
+    assert hub.get_model_json(
+        "org/repo", "missing.json", fatal=False,
+        cache_dir=str(tmp_path / "cache"), local_files_only=True,
+    ) == {}
+
+
+def test_get_model_json_parses(tmp_path):
+    d = tmp_path / "m"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps({"id2label": {"0": "NEG", "1": "POS"}}))
+    cfg = hub.get_model_json(str(d), "config.json", cache_dir=str(tmp_path / "c"))
+    assert cfg["id2label"]["1"] == "POS"
+
+
+def test_put_is_atomic_no_incomplete_left(tmp_path):
+    cache = hub.FileCache(str(tmp_path))
+    p = cache.put("a/b/c.bin", b"xyz")
+    assert open(p, "rb").read() == b"xyz"
+    assert not os.path.exists(p + ".incomplete")
