@@ -28,6 +28,7 @@ from informers_spark.pipelines.qa import fill_mask, question_answering
 from informers_spark.pipelines.rerank import rerank
 from informers_spark.pipelines.vision import (
     depth_estimate,
+    document_qa,
     image_classify,
     image_feature_extract,
     image_segment,
@@ -71,6 +72,7 @@ SUPPORTED_TASKS = {
     "depth-estimation": depth_estimate,
     "image-to-image": image_to_image,
     "image-to-text": image_to_text,
+    "document-question-answering": document_qa,
     # audio (pipelines.rb:801-971)
     "audio-classification": audio_classify,
     "zero-shot-audio-classification": zero_shot_audio_classify,
@@ -78,10 +80,8 @@ SUPPORTED_TASKS = {
 }
 
 _OUT_OF_SCOPE = {
-    # task name → reference location: these raise Todo UPSTREAM too
+    # task name → reference location: raises Todo UPSTREAM too
     "automatic-speech-recognition": "pipelines.rb:985-987 (call_whisper raises Todo)",
-    "document-question-answering": "pipelines.rb:760-799 (Donut generate; decoder "
-    "tokenizer raises Todo via processors.rb:393-420 path offline)",
 }
 
 

@@ -155,6 +155,68 @@ class OnnxBackend:
             "or stage a decoder-capable backend"
         )
 
+    # --- vision / audio session plumbing ---------------------------------------
+    # A vision/audio checkpoint is just another ONNX session whose input
+    # is pixel_values / input_values instead of input_ids. The pipelines
+    # (pipelines/vision.py, pipelines/audio.py) preprocess to the tensor
+    # and call these; parity postprocessing lives above the backend line.
+
+    def _run_feeds(self, feeds: dict, output_names=None):
+        """session.run with exactly the declared inputs present in feeds
+        (reference models.rb:653-663 feeds only session inputs)."""
+        feed = {k: v for k, v in feeds.items() if k in self._input_names}
+        missing = self._input_names - set(feed)
+        if missing:
+            raise RuntimeError(f"session expects inputs {sorted(missing)}")
+        return self.session.run(output_names, feed)
+
+    def image_forward(self, pixel_values: np.ndarray, labels: list[str] | None = None):
+        """pixel_values [B,C,H,W] f32 -> (logits, id2label) — the
+        ImageClassification model call (pipelines.rb:525-527)."""
+        outs = self._run_feeds({"pixel_values": np.asarray(pixel_values, np.float32)})
+        logits = outs[0].astype(np.float32)
+        id2label = list(labels) if labels else (
+            self.id2label or [str(i) for i in range(logits.shape[-1])]
+        )
+        return logits, id2label
+
+    def image_embed(self, pixel_values: np.ndarray) -> np.ndarray:
+        """outputs[0] raw hidden (ImageFeatureExtraction,
+        pipelines.rb:884-893); pooled to [B, D] when the model emits a
+        sequence of patch embeddings."""
+        outs = self._run_feeds({"pixel_values": np.asarray(pixel_values, np.float32)})
+        h = outs[0].astype(np.float32)
+        return h.mean(axis=1) if h.ndim == 3 else h
+
+    def detect_forward(
+        self, pixel_values: np.ndarray, labels: list[str] | None = None, **_
+    ):
+        """(logits, pred_boxes, id2label) — DETR-style detection session
+        emits both (pipelines.rb:684-686 output slots)."""
+        outs = self._run_feeds({"pixel_values": np.asarray(pixel_values, np.float32)})
+        logits, boxes = outs[0].astype(np.float32), outs[1].astype(np.float32)
+        id2label = list(labels) if labels else (
+            self.id2label or [str(i) for i in range(logits.shape[-1] - 1)]
+        )
+        return logits, boxes, id2label
+
+    def audio_forward(self, waveforms, labels: list[str] | None = None):
+        """input_values [B, T] f32 (equal-length clips per Arrow batch are
+        padded to max) -> logits (AudioClassification model call,
+        pipelines.rb:905-911)."""
+        n = max(len(w) for w in waveforms)
+        batch = np.zeros((len(waveforms), n), dtype=np.float32)
+        mask = np.zeros((len(waveforms), n), dtype=np.int64)
+        for i, w in enumerate(waveforms):
+            batch[i, : len(w)] = w
+            mask[i, : len(w)] = 1
+        outs = self._run_feeds({"input_values": batch, "attention_mask": mask})
+        logits = outs[0].astype(np.float32)
+        id2label = list(labels) if labels else (
+            self.id2label or [str(i) for i in range(logits.shape[-1])]
+        )
+        return logits, id2label
+
     def qa_batch(self, questions: list[str], contexts: list[str]):
         """Batched QA: ONE encode_batch + ONE session.run per Arrow batch
         (QA models emit start/end logits, reference models.rb:1541-1549).

@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 
 from informers_spark.functions.kernels import get_top_items, softmax
 from informers_spark.functions.vision import zero_mean_unit_var
+from informers_spark.pipelines.vision import _base_tuples
 
 
 def _pcm(payload: bytes) -> np.ndarray:
@@ -71,8 +72,9 @@ def audio_classify(
             logits, id2label = be.audio_forward(waves, labels)
             probs = softmax(logits, axis=-1)
             rows = []
+            bases = _base_tuples(pdf, keep_names)
             for i in range(len(pdf)):
-                base = tuple(pdf.iloc[i][c] for c in keep_names)
+                base = bases[i]
                 items = get_top_items(probs[i], top_k or 0)
                 rows.extend(
                     base + (id2label[idx], float(s), r + 1)
@@ -113,8 +115,9 @@ def zero_shot_audio_classify(
             waves = [_pcm(p) for p in pdf[payload_col]]
             probs = softmax(be.clap_scores(waves, texts), axis=-1)
             rows = []
+            bases = _base_tuples(pdf, keep_names)
             for i in range(len(pdf)):
-                base = tuple(pdf.iloc[i][c] for c in keep_names)
+                base = bases[i]
                 rows.extend(
                     base + (candidate_labels[j], float(probs[i, j]))
                     for j in range(len(candidate_labels))

@@ -67,6 +67,14 @@ def _default_decode():
     return auto_decode
 
 
+def _base_tuples(pdf: pd.DataFrame, keep_names: list[str]) -> list[tuple]:
+    """Pass-through column values as row tuples, assembled columnar
+    (one .tolist() per column) — never pdf.iloc in a row loop."""
+    if not keep_names:
+        return [()] * len(pdf)
+    return list(zip(*[pdf[c].tolist() for c in keep_names]))
+
+
 def image_classify(
     df: DataFrame,
     payload_col: str = "payload",
@@ -101,8 +109,9 @@ def image_classify(
             logits, id2label = be.image_forward(px, labels)
             probs = softmax(logits, axis=-1)
             rows = []
+            bases = _base_tuples(pdf, keep_names)
             for i in range(len(pdf)):
-                base = tuple(pdf.iloc[i][c] for c in keep_names)
+                base = bases[i]
                 items = get_top_items(probs[i], top_k)
                 if ranked:
                     rows.extend(
@@ -189,8 +198,9 @@ def zero_shot_image_classify(
             logits = be.clip_scores(px, texts)  # [B, L]
             probs = sigmoid(logits) if siglip else softmax(logits, axis=-1)
             rows = []
+            bases = _base_tuples(pdf, keep_names)
             for i in range(len(pdf)):
-                base = tuple(pdf.iloc[i][c] for c in keep_names)
+                base = bases[i]
                 order = np.argsort(-probs[i], kind="stable")
                 rows.extend(
                     base + (candidate_labels[j], float(probs[i, j]), r + 1)
@@ -213,8 +223,9 @@ _BOX_FIELDS = [
 
 def _detect_rows(pdf, keep_names, processed, label_of, percentage):
     rows = []
+    bases = _base_tuples(pdf, keep_names)
     for i in range(len(pdf)):
-        base = tuple(pdf.iloc[i][c] for c in keep_names)
+        base = bases[i]
         det = processed[i]
         # sort_by -score like the reference result (pipelines.rb:727-731)
         order = np.argsort(-det["scores"], kind="stable")
@@ -374,8 +385,9 @@ def image_segment(
             px, sizes = _decode_and_preprocess(pdf[payload_col], decode, cfg)
             cls, masks, id2label = be.segment_forward(px, labels)
             rows = []
+            bases = _base_tuples(pdf, keep_names)
             for i in range(len(pdf)):
-                base = tuple(pdf.iloc[i][c] for c in keep_names)
+                base = bases[i]
                 probs, scores, lids = remove_low_and_no_objects(
                     cls[i], masks[i], threshold, len(id2label)
                 )
@@ -437,12 +449,13 @@ def depth_estimate(
             px, sizes = _decode_and_preprocess(pdf[payload_col], decode, cfg)
             depth = be.depth_forward(px)  # [B, h, w]
             rows = []
+            bases = _base_tuples(pdf, keep_names)
             for i in range(len(pdf)):
                 h, w = sizes[i]
                 pred = interpolate(depth[i][None], h, w)[0]
                 mx = float(pred.max())
                 formatted = np.round(pred * 255.0 / mx).astype(np.int64)
-                base = tuple(pdf.iloc[i][c] for c in keep_names)
+                base = bases[i]
                 rows.append(
                     base + (h, w, float(formatted.mean()), int(formatted.max()))
                 )
@@ -489,16 +502,76 @@ def image_to_image(
             px, _ = _decode_and_preprocess(pdf[payload_col], decode, cfg)
             out_px = be.image_to_image_forward(px)  # [B, C, 2H, 2W]
             rows = []
+            bases = _base_tuples(pdf, keep_names)
             for i in range(len(pdf)):
                 img = np.round(np.clip(out_px[i], 0, 1) * 255).astype(np.uint8)
                 hwc = img.transpose(1, 2, 0)
-                base = tuple(pdf.iloc[i][c] for c in keep_names)
+                base = bases[i]
                 rows.append(
                     base + (bytearray(hwc.tobytes()), hwc.shape[0], hwc.shape[1])
                 )
             yield pd.DataFrame(
                 rows, columns=keep_names + ["out_payload", "out_h", "out_w"]
             )
+
+    return df.mapInPandas(infer, schema=schema)
+
+
+def document_qa(
+    df: DataFrame,
+    question: str,
+    payload_col: str = "payload",
+    max_new_tokens: int = 6,
+    config: dict | None = None,
+    backend: str = "auto",
+    backend_opts: dict | None = None,
+) -> DataFrame:
+    """Document question answering (reference pipelines.rb:760-799):
+    image -> Donut-style generate with the task prompt
+    `<s_docvqa><s_question>{q}</s_question><s_answer>` as
+    decoder_input_ids, decode WITHOUT skipping special tokens, then parse
+    the answer out of `<s_answer>(.*?)</s_answer>` (pipelines.rb:790-796;
+    nil when the pattern is absent).
+
+    Stand-in note: the deterministic backend decodes EOS as the
+    `</s_answer>` closing tag (real Donut checkpoints generate it), so
+    the regex parse is exercised for real; the full decoded string —
+    prompt + generation + closing tag — is what batch_decode of
+    (decoder_input_ids ++ generated ++ eos) yields upstream."""
+    import re
+
+    opts = backend_opts or {}
+    cfg = config or SMALL_CONFIG
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    schema = T.StructType(keep + [T.StructField("answer", T.StringType())])
+    keep_names = [f.name for f in keep]
+    task_prompt = f"<s_docvqa><s_question>{question}</s_question><s_answer>"
+    answer_re = re.compile(r"<s_answer>(.*?)</s_answer>")
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from informers_spark.backend.base import get_backend
+        from informers_spark.pipelines.generate import greedy_decode
+
+        be = get_backend(backend, **opts)
+        decode = _default_decode()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            px, _ = _decode_and_preprocess(pdf[payload_col], decode, cfg)
+            # decoder context = image tokens + the question (the pixel
+            # cross-attention + decoder_input_ids of the Donut forward)
+            contexts = [
+                c + " " + question for c in be.caption_contexts(px)
+            ]
+            gens = greedy_decode(be, contexts, max_new_tokens=max_new_tokens)
+            answers = []
+            for g in gens:
+                decoded = task_prompt + g.strip() + "</s_answer>"
+                m = answer_re.search(decoded)
+                answers.append(m.group(1).strip() if m else None)
+            out = pdf[keep_names].copy()
+            out["answer"] = answers
+            yield out
 
     return df.mapInPandas(infer, schema=schema)
 

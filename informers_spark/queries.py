@@ -1304,6 +1304,18 @@ def q_zero_shot_audio(spark, sf_dir):
     return out.select("doc_id", "label", "score").orderBy("doc_id", "label")
 
 
+def q_doc_qa(spark, sf_dir):
+    """Document QA: Donut-style generate + <s_answer> regex parse
+    (pipelines.rb:760-799)."""
+    from informers_spark.pipelines.vision import document_qa
+
+    out = document_qa(
+        _media(spark, sf_dir, "image", 30), question="what is this code",
+        backend="hash",
+    )
+    return out.select("doc_id", "answer").orderBy("doc_id")
+
+
 def q_text_to_audio(spark, sf_dir):
     """Text-to-audio waveform branch (pipelines.rb:801-819),
     canonicalized to (rate, n_samples, content hash)."""
@@ -1454,6 +1466,7 @@ QUERIES = {
     "q_audio_classify": q_audio_classify,
     "q_zero_shot_audio": q_zero_shot_audio,
     "q_text_to_audio": q_text_to_audio,
+    "q_doc_qa": q_doc_qa,
 }
 
 ORACLE_SQL = {
@@ -1529,6 +1542,7 @@ FIXTURE_QUERIES = [
     "q_audio_classify",
     "q_zero_shot_audio",
     "q_text_to_audio",
+    "q_doc_qa",
 ]
 for _fq in FIXTURE_QUERIES:
     ORACLE_SQL[_fq] = f"SELECT * FROM '{FIXTURE_DIR}/{_fq}.parquet'"

@@ -265,6 +265,18 @@ def test_text_to_audio_roundtrip(spark):
     assert np.abs(w0).max() <= 1.0 + 1e-6
 
 
+def test_document_qa_parses_answer(spark):
+    from informers_spark.pipelines.vision import document_qa
+
+    rows = document_qa(
+        _media(spark, 4), question="what is this code", backend="hash"
+    ).collect()
+    assert len(rows) == 4
+    # the regex parse (pipelines.rb:790-796) extracted a non-empty answer
+    assert all(r.answer for r in rows)
+    assert all("<s_answer>" not in r.answer for r in rows)
+
+
 def test_vision_pipeline_no_exchange_before_udf(spark):
     from informers_spark.pipelines.vision import image_classify
 
@@ -284,7 +296,7 @@ def test_api_dispatches_all_vision_audio_tasks():
         "zero-shot-object-detection", "image-segmentation",
         "depth-estimation", "image-to-image", "image-to-text",
         "audio-classification", "zero-shot-audio-classification",
-        "text-to-audio", "text-to-speech",
+        "text-to-audio", "text-to-speech", "document-question-answering",
     ]:
         assert callable(api.pipeline(task))
     with pytest.raises(NotImplementedError):
