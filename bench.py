@@ -45,6 +45,8 @@ HEADLINE = [
     "q_classify_docs",
     "q_zero_shot_docs",
     "q_ner_docs",
+    "q_image_classify_all",
+    "q_audio_classify",
 ]
 
 

@@ -200,6 +200,45 @@ class OnnxBackend:
         )
         return logits, boxes, id2label
 
+    def clip_scores(self, pixel_values: np.ndarray, texts: list[str]) -> np.ndarray:
+        """CLIP dual-tower: tokenize the label texts and feed them WITH
+        the pixels in one run (reference merges text_inputs + pixel_values,
+        pipelines.rb:646-648); outs[0] is logits_per_image — the slot the
+        reference reads as output[0] (pipelines.rb:657)."""
+        enc = self.tokenizer.encode_batch(texts)
+        outs = self._run_feeds(
+            {
+                "input_ids": np.array([e.ids for e in enc], dtype=np.int64),
+                "attention_mask": np.array(
+                    [e.attention_mask for e in enc], dtype=np.int64
+                ),
+                "pixel_values": np.asarray(pixel_values, np.float32),
+            }
+        )
+        return outs[0].astype(np.float32)
+
+    def segment_forward(self, pixel_values: np.ndarray, labels=None, **_):
+        """MaskFormer-style session: (class_queries_logits,
+        masks_queries_logits) output slots (the shapes
+        processors.rb:446-473 consumes)."""
+        outs = self._run_feeds({"pixel_values": np.asarray(pixel_values, np.float32)})
+        cls, masks = outs[0].astype(np.float32), outs[1].astype(np.float32)
+        id2label = list(labels) if labels else (
+            self.id2label or [str(i) for i in range(cls.shape[-1] - 1)]
+        )
+        return cls, masks, id2label
+
+    def depth_forward(self, pixel_values: np.ndarray) -> np.ndarray:
+        """predicted_depth = outs[0] (pipelines.rb:1019 reads output 0)."""
+        outs = self._run_feeds({"pixel_values": np.asarray(pixel_values, np.float32)})
+        d = outs[0].astype(np.float32)
+        return d[:, 0] if d.ndim == 4 else d  # squeeze channel if present
+
+    def image_to_image_forward(self, pixel_values: np.ndarray) -> np.ndarray:
+        """outs[0] [B, C, H', W'] (pipelines.rb:995 reads output 0)."""
+        outs = self._run_feeds({"pixel_values": np.asarray(pixel_values, np.float32)})
+        return outs[0].astype(np.float32)
+
     def audio_forward(self, waveforms, labels: list[str] | None = None):
         """input_values [B, T] f32 (equal-length clips per Arrow batch are
         padded to max) -> logits (AudioClassification model call,

@@ -1205,6 +1205,19 @@ def q_image_classify(spark, sf_dir):
     return out.select("doc_id", "label", "score", "rank").orderBy("doc_id", "rank")
 
 
+def q_image_classify_all(spark, sf_dir):
+    """Image classification top-1 over EVERY document's image — the
+    vision throughput benchmark (row count scales with sf, unlike the
+    capped correctness queries above)."""
+    from informers_spark.operators.multimodal import media_from_documents
+    from informers_spark.pipelines.vision import image_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    media = media_from_documents(docs, kind="image").select("doc_id", "payload")
+    out = image_classify(media, top_k=1, backend="hash")
+    return out.select("doc_id", "label", "score").orderBy("doc_id")
+
+
 def q_zero_shot_image(spark, sf_dir):
     """CLIP-style zero-shot image classification (pipelines.rb:627-668)."""
     from informers_spark.pipelines.vision import zero_shot_image_classify
@@ -1456,6 +1469,7 @@ QUERIES = {
     "q_fill_mask_docs": q_fill_mask_docs,
     "q_embed_binary_docs": q_embed_binary_docs,
     "q_image_classify": q_image_classify,
+    "q_image_classify_all": q_image_classify_all,
     "q_zero_shot_image": q_zero_shot_image,
     "q_object_detect": q_object_detect,
     "q_image_embed": q_image_embed,
@@ -1532,6 +1546,7 @@ FIXTURE_QUERIES = [
     "q_generate_docs",
     # vision/audio: md5-seeded forwards, reference-parity post-processing
     "q_image_classify",
+    "q_image_classify_all",
     "q_zero_shot_image",
     "q_object_detect",
     "q_image_embed",
