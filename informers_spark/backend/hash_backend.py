@@ -330,18 +330,18 @@ class HashBackend:
 
     def _image_feature(self, pixel_values: np.ndarray) -> np.ndarray:
         """[B,C,H,W] -> [B, C*18] pooled features: bilinear 4x4 grid per
-        channel + per-channel mean/std. Content-deterministic."""
+        channel + per-channel mean/std. Content-deterministic. The batch
+        shares one (H, W) after the preprocess chain, so the whole batch
+        interpolates as ONE [B*C, H, W] kernel call — no per-image loop."""
         from informers_spark.functions.kernels import interpolate
 
         px = np.asarray(pixel_values, dtype=np.float64)
-        b, c = px.shape[0], px.shape[1]
-        feats = np.empty((b, c * 18), dtype=np.float64)
-        for i in range(b):
-            grid = interpolate(px[i], 4, 4).reshape(c, 16)
-            feats[i] = np.concatenate(
-                [grid, px[i].mean(axis=(1, 2))[:, None], px[i].std(axis=(1, 2))[:, None]],
-                axis=1,
-            ).reshape(-1)
+        b, c, h, w = px.shape
+        grid = interpolate(px.reshape(b * c, h, w), 4, 4).reshape(b, c, 16)
+        feats = np.concatenate(
+            [grid, px.mean(axis=(2, 3))[:, :, None], px.std(axis=(2, 3))[:, :, None]],
+            axis=2,
+        ).reshape(b, c * 18)
         return feats.astype(np.float32)
 
     def _proj(self, name: str, rows: int, cols: int) -> np.ndarray:
@@ -404,19 +404,26 @@ class HashBackend:
         b = px.shape[0]
         nl = len(labels) + 1  # + background
         f = self._image_feature(px)
-        logits = np.empty((b, num_boxes, nl), dtype=np.float32)
-        boxes = np.empty((b, num_boxes, 4), dtype=np.float32)
-        for i in range(b):
-            rng = np.random.Generator(np.random.PCG64(self._content_seed(px[i], "det")))
-            cxy = rng.uniform(0.2, 0.8, size=(num_boxes, 2))
-            wh = rng.uniform(0.05, 0.3, size=(num_boxes, 2))
-            boxes[i] = np.concatenate([cxy, wh], axis=1)
+        # weight stack is label-set-dependent only — build once, cache
+        wkey = ("det_w", tuple(labels), num_boxes, f.shape[1])
+        w = self._vec_cache.get(wkey)
+        if w is None:
             w = np.stack([
                 _token_vector(f"det:{j}:{lbl}", f.shape[1])
                 for j in range(num_boxes)
                 for lbl in (list(labels) + ["<bg>"])
             ]).reshape(num_boxes, nl, f.shape[1])
+            self._vec_cache[wkey] = w
+        # per-image matmul keeps the exact float accumulation order the
+        # frozen fixtures pinned (an einsum over the batch drifts ulps)
+        logits = np.empty((b, num_boxes, nl), dtype=np.float32)
+        boxes = np.empty((b, num_boxes, 4), dtype=np.float32)
+        for i in range(b):
             logits[i] = (w @ f[i]) / np.sqrt(f.shape[1]) * 3.0
+            rng = np.random.Generator(np.random.PCG64(self._content_seed(px[i], "det")))
+            cxy = rng.uniform(0.2, 0.8, size=(num_boxes, 2))
+            wh = rng.uniform(0.05, 0.3, size=(num_boxes, 2))
+            boxes[i] = np.concatenate([cxy, wh], axis=1)
         return logits, boxes, list(labels)
 
     def segment_forward(
@@ -435,21 +442,27 @@ class HashBackend:
         nl = len(labels) + 1
         h, w = mask_hw
         f = self._image_feature(px)
+        wkey = ("seg_w", tuple(labels), num_queries, f.shape[1])
+        wq = self._vec_cache.get(wkey)
+        if wq is None:
+            wq = np.stack([
+                _token_vector(f"seg:{q}:{lbl}", f.shape[1])
+                for q in range(num_queries)
+                for lbl in (list(labels) + ["<bg>"])
+            ]).reshape(num_queries, nl, f.shape[1])
+            self._vec_cache[wkey] = wq
         cls = np.empty((b, num_queries, nl), dtype=np.float32)
         masks = np.empty((b, num_queries, h, w), dtype=np.float32)
         yy, xx = np.mgrid[0:h, 0:w]
         for i in range(b):
+            # per-image matmul: exact fixture-pinned float accumulation
+            cls[i] = (wq @ f[i]) / np.sqrt(f.shape[1]) * 3.0
             rng = np.random.Generator(np.random.PCG64(self._content_seed(px[i], "seg")))
             for q in range(num_queries):
                 cy, cx = rng.uniform(0.15, 0.85, 2) * (h, w)
                 r = rng.uniform(0.15, 0.4) * min(h, w)
                 d2 = (yy - cy) ** 2 + (xx - cx) ** 2
                 masks[i, q] = 1.0 / (1.0 + np.exp((np.sqrt(d2) - r)))
-                wq = np.stack([
-                    _token_vector(f"seg:{q}:{lbl}", f.shape[1])
-                    for lbl in (list(labels) + ["<bg>"])
-                ])
-                cls[i, q] = (wq @ f[i]) / np.sqrt(f.shape[1]) * 3.0
         return cls, masks, list(labels)
 
     def depth_forward(self, pixel_values: np.ndarray) -> np.ndarray:
