@@ -173,6 +173,25 @@ def _px(seed=0, n=2):
     ])
 
 
+def test_image_feature_batch_vectorization_bit_exact():
+    # the [B*C, H, W] batched interpolate must be bit-identical to the
+    # per-image path the frozen fixtures pinned
+    from informers_spark.backend.hash_backend import HashBackend
+    from informers_spark.functions.kernels import interpolate
+
+    be = HashBackend()
+    rng = np.random.Generator(np.random.PCG64(5))
+    px = rng.standard_normal((6, 3, 9, 11))
+    got = be._image_feature(px)
+    for i in range(6):
+        grid = interpolate(px[i], 4, 4).reshape(3, 16)
+        exp = np.concatenate(
+            [grid, px[i].mean(axis=(1, 2))[:, None], px[i].std(axis=(1, 2))[:, None]],
+            axis=1,
+        ).reshape(-1).astype(np.float32)
+        assert np.array_equal(got[i], exp)
+
+
 def test_forwards_content_deterministic_and_batch_independent():
     from informers_spark.backend.hash_backend import HashBackend
 
