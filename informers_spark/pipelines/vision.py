@@ -18,7 +18,11 @@ At 100 TB: payloads stay in executor memory only for the life of one
 Arrow batch; outputs are slim typed columns (never re-emitting the
 payload unless the op's contract is an image, e.g. image-to-image).
 Partitioning of the input scan is preserved — no exchange before the
-UDF (asserted in tests/test_plans.py style).
+UDF (asserted in tests/test_plans.py style). Executor-memory sizing:
+batch bytes ~= spark.sql.execution.arrow.maxRecordsPerBatch (1024 in
+session.py) x mean payload size — drop the cap to ~64-128 for megapixel
+images so a batch stays well under the Arrow 2 GiB record-batch bound
+and the Python worker's RSS budget.
 """
 
 from __future__ import annotations
