@@ -103,3 +103,18 @@ def test_generate_udf_runs_on_scan_partitioning(spark):
     plan = _plan(generate_text(docs, backend="hash"))
     before_udf = plan.split("MapInPandas")[0]
     assert "Exchange" not in before_udf
+
+
+def test_vision_query_prunes_scan_and_avoids_exchange(spark):
+    # the media pipeline must read ONLY doc_id from the documents scan
+    # (media is synthesized from the id; dragging text along would 100x
+    # the scan bytes) and stack its two mapInPandas stages with no
+    # shuffle between scan and UDFs
+    from informers_spark.queries import q_image_classify_all
+
+    plan = _plan(q_image_classify_all(spark, SF))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema
+    assert "text" not in read_schema
+    scan_to_sort = plan.split("Sort")[0]
+    assert "Exchange" not in scan_to_sort
