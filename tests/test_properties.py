@@ -104,3 +104,51 @@ def test_no_repeat_ngram_never_bans_unseen(ids, n):
         seq = list(ids) + [t]
         ngrams = [tuple(seq[j : j + n]) for j in range(len(seq) - n + 1)]
         assert ngrams and ngrams[-1] in ngrams[:-1]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(1, 8), st.integers(0, 40))
+def test_reflect_offset_bounds_and_period(w, i):
+    from informers_spark.functions.vision import calculate_reflect_offset
+
+    off = int(calculate_reflect_offset(i, w))
+    assert 0 <= off <= w  # always a valid source index for length w+1
+    # period 2w (the symmetric reflection cycle)
+    assert off == int(calculate_reflect_offset(i + 2 * w, w))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(3, 12), st.integers(3, 12), st.integers(1, 3))
+def test_pad_image_preserves_original_region(h, w, c):
+    from informers_spark.functions.vision import pad_image
+
+    rng = np.random.Generator(np.random.PCG64(h * 100 + w))
+    img = rng.random((h, w, c))
+    for mode in ("constant", "symmetric"):
+        out = pad_image(img, w + 3, h + 2, mode=mode)
+        assert out.shape == (h + 2, w + 3, c)
+        assert np.array_equal(out[:h, :w], img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(2, 10), st.integers(2, 10))
+def test_resize_size_never_exceeds_longest_edge(sw, sh):
+    from informers_spark.functions.vision import get_resize_output_image_size
+
+    w, h = get_resize_output_image_size(
+        sw * 37, sh * 41, {"shortest_edge": 64, "longest_edge": 100}
+    )
+    assert max(w, h) <= 100
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 4), st.integers(2, 6))
+def test_detection_probs_bounded_and_background_dropped(b, nb):
+    from informers_spark.functions.vision import post_process_object_detection
+
+    rng = np.random.Generator(np.random.PCG64(b * 10 + nb))
+    logits = rng.standard_normal((b, nb, 5))
+    boxes = rng.uniform(0.1, 0.9, (b, nb, 4))
+    for det in post_process_object_detection(logits, boxes, 0.5):
+        assert all(0.0 <= s <= 1.0 for s in det["scores"])
+        assert all(k != 4 for k in det["classes"])  # background id dropped
