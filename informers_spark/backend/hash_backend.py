@@ -378,10 +378,13 @@ class HashBackend:
         f = self._image_feature(pixel_values)
         return f @ self._proj("imgembed", f.shape[1], self.dim)
 
-    def clip_scores(self, pixel_values: np.ndarray, texts: list[str]) -> np.ndarray:
+    def clip_scores(
+        self, pixel_values: np.ndarray, texts: list[str], siglip: bool = False
+    ) -> np.ndarray:
         """logits_per_image [B, n_texts]: scaled cosine of image embedding
         vs text embedding in the shared hash space (CLIP forward stand-in,
-        reference pipelines.rb:646-651)."""
+        reference pipelines.rb:646-651). siglip changes only tokenizer
+        padding upstream (pipelines.rb:637) — a no-op for the hash path."""
         img = self.image_embed(pixel_values)
         img = img / (np.linalg.norm(img, axis=1, keepdims=True) + 1e-9)
         txt = self.mean_encode(texts)

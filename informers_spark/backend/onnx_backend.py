@@ -49,6 +49,7 @@ class OnnxBackend:
         self.tokenizer = Tokenizer.from_file(os.path.join(model_dir, "tokenizer.json"))
         self.tokenizer.enable_padding()
         self.tokenizer.enable_truncation(max_length=max_tokens)
+        self.max_tokens = max_tokens
         self.dim = int(self.session.get_outputs()[0].shape[-1])
         self._input_names = {i.name for i in self.session.get_inputs()}
         # config-driven labels (reference: configs.rb:19-42); without this
@@ -200,12 +201,23 @@ class OnnxBackend:
         )
         return logits, boxes, id2label
 
-    def clip_scores(self, pixel_values: np.ndarray, texts: list[str]) -> np.ndarray:
+    def clip_scores(
+        self, pixel_values: np.ndarray, texts: list[str], siglip: bool = False
+    ) -> np.ndarray:
         """CLIP dual-tower: tokenize the label texts and feed them WITH
         the pixels in one run (reference merges text_inputs + pixel_values,
         pipelines.rb:646-648); outs[0] is logits_per_image — the slot the
-        reference reads as output[0] (pipelines.rb:657)."""
-        enc = self.tokenizer.encode_batch(texts)
+        reference reads as output[0] (pipelines.rb:657). siglip pads label
+        texts to max_length instead of longest (pipelines.rb:637)."""
+        if siglip:
+            # fixed-length padding for this call, then restore longest-pad
+            self.tokenizer.enable_padding(length=self.max_tokens)
+            try:
+                enc = self.tokenizer.encode_batch(texts)
+            finally:
+                self.tokenizer.enable_padding()
+        else:
+            enc = self.tokenizer.encode_batch(texts)
         outs = self._run_feeds(
             {
                 "input_ids": np.array([e.ids for e in enc], dtype=np.int64),

@@ -199,7 +199,7 @@ def zero_shot_image_classify(
             if len(pdf) == 0:
                 continue
             px, _ = _decode_and_preprocess(pdf[payload_col], decode, cfg)
-            logits = be.clip_scores(px, texts)  # [B, L]
+            logits = be.clip_scores(px, texts, siglip=siglip)  # [B, L]
             probs = sigmoid(logits) if siglip else softmax(logits, axis=-1)
             rows = []
             bases = _base_tuples(pdf, keep_names)
