@@ -118,10 +118,10 @@ def simhash(col: Column, bits: int = 31) -> Column:
 
 
 def hamming_distance(a: Column, b: Column, bits: int = 31) -> Column:
-    x = a.bitwiseXOR(b)
-    return sum(
-        (F.shiftright(x, i) % 2).cast("int") for i in range(bits)
-    )
+    """popcount(xor) via the native bit_count (one JVM op; DuckDB has the
+    same builtin, so oracle parity holds). bits kept for signature
+    stability — bit_count covers the full word."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")
 
 
 def dot(a: Column, b: Column) -> Column:
