@@ -320,3 +320,15 @@ def test_api_dispatches_all_vision_audio_tasks():
         assert callable(api.pipeline(task))
     with pytest.raises(NotImplementedError):
         api.pipeline("automatic-speech-recognition")
+
+
+def test_vision_pipelines_handle_empty_input(spark):
+    # empty scan partition -> UDFs must yield nothing without schema
+    # inference crashes (the resumable-warehouse empty-input contract)
+    from informers_spark.pipelines.audio import audio_classify
+    from informers_spark.pipelines.vision import image_classify, object_detect
+
+    empty = _media(spark, 4).filter("doc_id < 0")
+    assert image_classify(empty, top_k=3, backend="hash").count() == 0
+    assert object_detect(empty, backend="hash").count() == 0
+    assert audio_classify(empty, backend="hash").count() == 0
