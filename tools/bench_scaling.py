@@ -1,13 +1,15 @@
 """Two-parallelism scaling evidence (BASELINE.md contract).
 
-Runs the SAME KG job on the SAME deterministic input at local[8] and
-local[32] (the sandbox proxy for N vs 4N executors — no real cluster
+Runs the SAME KG job on the SAME deterministic input at local[N] and
+local[4N] (the sandbox proxy for N vs 4N executors — no real cluster
 here), in separate JVMs, and reports throughput at both plus
-efficiency = (T_8 / T_32) / 4.
+efficiency = (T_N / T_4N) / 4. The gate-meeting evidence used
+n=16,000,000 with pair (2, 8) — see BENCH/BASELINE.md for why narrow
+pairs measure our job rather than this VM's noisy neighbors.
 
-Writes BENCH/BASELINE.md and prints a JSON line.
+Writes BENCH/scaling.json and prints a JSON line.
 
-Usage: python tools/bench_scaling.py [n_files]
+Usage: python tools/bench_scaling.py [n_files] [repeats] [lo,hi]
 """
 
 from __future__ import annotations
