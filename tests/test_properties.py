@@ -152,3 +152,21 @@ def test_detection_probs_bounded_and_background_dropped(b, nb):
     for det in post_process_object_detection(logits, boxes, 0.5):
         assert all(0.0 <= s <= 1.0 for s in det["scores"])
         assert all(k != 4 for k in det["classes"])  # background id dropped
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(0, 30), st.integers(0, 30), st.integers(0, 30))
+def test_simhash_banding_pigeonhole_recall(base_hash, f1, f2, f3):
+    # the recall contract simhash_neardup documents: two hashes within
+    # hamming < bands MUST agree on at least one of the band slices
+    bits, bands = 31, 4
+    width = (bits + bands - 1) // bands
+    other = base_hash
+    for f in {f1, f2, f3}:  # flip up to 3 distinct bits -> hamming <= 3
+        other ^= 1 << f
+    slices_agree = any(
+        (base_hash >> (i * width)) & ((1 << width) - 1)
+        == (other >> (i * width)) & ((1 << width) - 1)
+        for i in range(bands)
+    )
+    assert slices_agree
