@@ -37,16 +37,30 @@ class OnnxBackend:
         **_,
     ):
         model_dir = model_dir or os.environ.get("INFORMERS_SPARK_MODEL_DIR")
-        if not model_dir or not os.path.isdir(model_dir):
+        if not model_dir:
             raise RuntimeError("no model dir staged for OnnxBackend")
         # dtype → file suffix, matching reference: lib/informers/utils/dtypes.rb:3-12
         suffix = {"fp32": "", "fp16": "_fp16", "int8": "_int8", "q8": "_quantized",
                   "uint8": "_uint8", "q4": "_q4", "q4f16": "_q4f16", "bnb4": "_bnb4"}[dtype]
+        if not os.path.isdir(model_dir):
+            # repo id, not a staged dir: cache-first hub resolution per
+            # file (reference from_pretrained -> get_model_file,
+            # hub.rb:118-220). Driver-side; executors get a staged dir.
+            from informers_spark.sources.hub import get_model_file
+
+            model_path = get_model_file(model_dir, f"onnx/model{suffix}.onnx")
+            tok_path = get_model_file(model_dir, "tokenizer.json")
+            cfg_path = get_model_file(model_dir, "config.json", fatal=False)
+        else:
+            model_path = os.path.join(model_dir, "onnx", f"model{suffix}.onnx")
+            tok_path = os.path.join(model_dir, "tokenizer.json")
+            cfg_path = os.path.join(model_dir, "config.json")
+            if not os.path.exists(cfg_path):
+                cfg_path = None
         self.session = ort.InferenceSession(
-            os.path.join(model_dir, "onnx", f"model{suffix}.onnx"),
-            providers=["CPUExecutionProvider"],
+            model_path, providers=["CPUExecutionProvider"]
         )
-        self.tokenizer = Tokenizer.from_file(os.path.join(model_dir, "tokenizer.json"))
+        self.tokenizer = Tokenizer.from_file(tok_path)
         self.tokenizer.enable_padding()
         self.tokenizer.enable_truncation(max_length=max_tokens)
         self.max_tokens = max_tokens
@@ -55,14 +69,23 @@ class OnnxBackend:
         # config-driven labels (reference: configs.rb:19-42); without this
         # classify/ner would emit stringified int labels
         self.model_type, self.id2label, self.label2id = None, None, {}
-        cfg_path = os.path.join(model_dir, "config.json")
-        if os.path.exists(cfg_path):
+        if cfg_path is not None and os.path.exists(cfg_path):
             with open(cfg_path) as f:
                 parsed = parse_model_config(json.load(f))
             self.model_type = parsed["model_type"]
             self.id2label = parsed["id2label"]
             self.label2id = parsed["label2id"]
         self._decode_cache: dict[int, str] = {}
+
+    # --- tokenizer id/token conversion (reference tokenizers.rb:129-139) ----
+    def id_to_token(self, tid: int) -> str | None:
+        return self.tokenizer.id_to_token(tid)
+
+    def convert_tokens_to_ids(self, tokens: list[str]) -> list[int]:
+        return [self.tokenizer.token_to_id(t) for t in tokens]
+
+    def convert_ids_to_tokens(self, ids: list[int]) -> list[str | None]:
+        return [self.tokenizer.id_to_token(i) for i in ids]
 
     def _id_to_str(self, tid: int) -> str:
         """Cached single-token decode (replaces the per-call decode loop —
