@@ -1241,6 +1241,22 @@ def q_object_detect(spark, sf_dir):
     ).orderBy("doc_id", "label", "score", "xmin")
 
 
+def q_zero_shot_detect(spark, sf_dir):
+    """Zero-shot object detection: sigmoid multi-label boxes above
+    threshold (pipelines.rb:706-758, is_zero_shot post-processing)."""
+    from informers_spark.pipelines.vision import zero_shot_object_detect
+
+    out = zero_shot_object_detect(
+        _media(spark, sf_dir, "image", 40),
+        candidate_labels=["cat", "dog", "car"],
+        threshold=0.55,
+        backend="hash",
+    )
+    return out.select(
+        "doc_id", "label", "score", "xmin", "ymin", "xmax", "ymax"
+    ).orderBy("doc_id", "label", "score", "xmin")
+
+
 def q_image_embed(spark, sf_dir):
     """Image feature extraction (pipelines.rb:884-893), canonicalized to
     a csv string like q_embed_docs (driver-hashable)."""
@@ -1472,6 +1488,7 @@ QUERIES = {
     "q_image_classify_all": q_image_classify_all,
     "q_zero_shot_image": q_zero_shot_image,
     "q_object_detect": q_object_detect,
+    "q_zero_shot_detect": q_zero_shot_detect,
     "q_image_embed": q_image_embed,
     "q_image_segment": q_image_segment,
     "q_depth_docs": q_depth_docs,
@@ -1549,6 +1566,7 @@ FIXTURE_QUERIES = [
     "q_image_classify_all",
     "q_zero_shot_image",
     "q_object_detect",
+    "q_zero_shot_detect",
     "q_image_embed",
     "q_image_segment",
     "q_depth_docs",
