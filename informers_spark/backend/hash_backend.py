@@ -509,6 +509,8 @@ class HashBackend:
         """1-D PCM -> 20-dim feature: mean/std/zero-cross rate + energy of
         16 rfft bands over the first 2048 samples."""
         x = np.asarray(waveform, dtype=np.float64)
+        if len(x) == 0:  # empty clip == one silent sample (no NaN stats)
+            x = np.zeros(1)
         head = x[:2048]
         spec = np.abs(np.fft.rfft(head, n=2048))
         bands = spec[: 1024].reshape(16, 64).mean(axis=1)

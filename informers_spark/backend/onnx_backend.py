@@ -43,6 +43,12 @@ class OnnxBackend:
         suffix = {"fp32": "", "fp16": "_fp16", "int8": "_int8", "q8": "_quantized",
                   "uint8": "_uint8", "q4": "_q4", "q4f16": "_q4f16", "bnb4": "_bnb4"}[dtype]
         if not os.path.isdir(model_dir):
+            if os.path.isabs(model_dir) or model_dir.startswith("."):
+                # a filesystem path that doesn't exist is a staging
+                # failure — fail fast, never fall through to network
+                # resolution (a typo'd mount would otherwise hang every
+                # Python worker in urlopen before erroring)
+                raise RuntimeError(f"model dir does not exist: {model_dir!r}")
             # repo id, not a staged dir: cache-first hub resolution per
             # file (reference from_pretrained -> get_model_file,
             # hub.rb:118-220). Driver-side; executors get a staged dir.

@@ -118,10 +118,14 @@ def simhash(col: Column, bits: int = 31) -> Column:
 
 
 def hamming_distance(a: Column, b: Column, bits: int = 31) -> Column:
-    """popcount(xor) via the native bit_count (one JVM op; DuckDB has the
-    same builtin, so oracle parity holds). bits kept for signature
-    stability — bit_count covers the full word."""
-    return F.bit_count(a.bitwiseXOR(b)).cast("int")
+    """popcount(xor) over the low `bits` bits via the native bit_count
+    (one JVM op; DuckDB has the same builtin, so oracle parity holds).
+    The mask preserves the original contract of counting only the low
+    `bits` bits; bits >= 64 counts the whole word."""
+    x = a.bitwiseXOR(b)
+    if bits < 64:
+        x = x.bitwiseAND(F.lit((1 << bits) - 1))
+    return F.bit_count(x).cast("int")
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -131,10 +131,12 @@ def pad_image(
     if pad_width == w and pad_height == h:
         return hwc
     if isinstance(constant_values, (list, tuple, np.ndarray)):
-        out = np.tile(
-            np.asarray(constant_values, dtype=np.float64)[None, None, :],
-            (pad_height, pad_width, 1),
-        )
+        # cycle the fill values across channels (processors.rb:90-94 uses
+        # constant_values[i % channels]; modulo len() here so lists
+        # shorter than the channel count cycle instead of crashing)
+        cv = np.asarray(constant_values, dtype=np.float64)
+        fill = cv[np.arange(c) % len(cv)]
+        out = np.tile(fill[None, None, :], (pad_height, pad_width, 1))
     else:
         out = np.full((pad_height, pad_width, c), float(constant_values))
     if center:

@@ -31,8 +31,11 @@ from informers_spark.pipelines.vision import _base_tuples
 
 def _pcm(payload: bytes) -> np.ndarray:
     """f32le buffer -> 1-D waveform (the shape ffmpeg's `-f f32le`
-    unpack("e*") produces, utils/ffmpeg.rb:28-42)."""
-    return np.frombuffer(bytes(payload), dtype=np.float32)
+    unpack("e*") produces, utils/ffmpeg.rb:28-42). An empty/corrupt
+    payload decodes to one zero sample (silence) so downstream
+    mean/std feature math never sees an empty slice (NaN scores)."""
+    wave = np.frombuffer(bytes(payload), dtype=np.float32)
+    return wave if len(wave) else np.zeros(1, dtype=np.float32)
 
 
 def audio_classify(

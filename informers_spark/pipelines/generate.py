@@ -147,7 +147,6 @@ def generate_text(
         for pdf in batches:
             texts = pdf[text_col].fillna("").astype(str).tolist() if len(pdf) else []
             contexts = [prefix + t for t in texts]
-            b = len(contexts)
             vocab = list(be.GEN_VOCAB)
             eos_id = len(vocab) - 1
             procs = build_processors(
@@ -174,29 +173,9 @@ def generate_text(
                 out[out_col] = pd.Series(decoded, dtype=object)
                 yield out
                 continue
-            # decoder start token (T5 convention: EOS) so processor length
-            # semantics line up with the reference's seq2seq ids
-            gen_ids: list[list[int]] = [[eos_id] for _ in range(b)]
-            done = [False] * b
-            for _ in range(max_new_tokens):
-                active = [i for i in range(b) if not done[i]]
-                if not active:
-                    break
-                _, logits = be.next_logits(
-                    [contexts[i] for i in active],
-                    [[vocab[t] for t in gen_ids[i][1:]] for i in active],
-                )
-                logits = logits.astype(np.float64)
-                for j, i in enumerate(active):
-                    row = logits[j]
-                    for p in procs:
-                        row = p(gen_ids[i], row)
-                    t = greedy_sample(row)
-                    if t == eos_id:
-                        done[i] = True
-                    else:
-                        gen_ids[i].append(t)
-            decoded = [" ".join(vocab[t] for t in ids[1:]) for ids in gen_ids]
+            decoded = greedy_decode(
+                be, contexts, max_new_tokens=max_new_tokens, procs=procs
+            )
             if return_full_text:
                 decoded = [
                     (t + " " + d).strip() if d else t for t, d in zip(texts, decoded)

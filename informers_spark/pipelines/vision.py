@@ -225,7 +225,9 @@ _BOX_FIELDS = [
 ]
 
 
-def _detect_rows(pdf, keep_names, processed, label_of, percentage):
+def _detect_rows(pdf, keep_names, processed, label_of, percentage, top_k=None):
+    """Ranked box rows per image; top_k truncates PER IMAGE (the
+    reference truncates each image's ranked result, pipelines.rb:751-753)."""
     rows = []
     bases = _base_tuples(pdf, keep_names)
     for i in range(len(pdf)):
@@ -233,6 +235,8 @@ def _detect_rows(pdf, keep_names, processed, label_of, percentage):
         det = processed[i]
         # sort_by -score like the reference result (pipelines.rb:727-731)
         order = np.argsort(-det["scores"], kind="stable")
+        if top_k is not None:
+            order = order[:top_k]
         for j in order:
             bb = get_bounding_box(det["boxes"][j], not percentage)
             rows.append(
@@ -332,16 +336,8 @@ def zero_shot_object_detect(
             )
             rows = _detect_rows(
                 pdf, keep_names, processed,
-                lambda k: candidate_labels[k], percentage,
+                lambda k: candidate_labels[k], percentage, top_k=top_k,
             )
-            if top_k is not None:
-                # per-image truncation happens on the ranked rows
-                out = pd.DataFrame(
-                    rows, columns=keep_names + [f.name for f in _BOX_FIELDS]
-                )
-                out = out.groupby(keep_names, sort=False).head(top_k)
-                yield out
-                continue
             yield pd.DataFrame(
                 rows, columns=keep_names + [f.name for f in _BOX_FIELDS]
             )
@@ -458,7 +454,13 @@ def depth_estimate(
                 h, w = sizes[i]
                 pred = interpolate(depth[i][None], h, w)[0]
                 mx = float(pred.max())
-                formatted = np.round(pred * 255.0 / mx).astype(np.int64)
+                # guard the reference's unguarded 255/max (pipelines.rb:
+                # 1028): an all-zero depth map formats to zeros, not NaN
+                formatted = (
+                    np.round(pred * 255.0 / mx).astype(np.int64)
+                    if mx > 0
+                    else np.zeros_like(pred, dtype=np.int64)
+                )
                 base = bases[i]
                 rows.append(
                     base + (h, w, float(formatted.mean()), int(formatted.max()))
