@@ -110,6 +110,46 @@ def media_from_documents(
     return df.select(id_col).mapInPandas(gen, schema=schema)
 
 
+def validate_media(
+    df: DataFrame,
+    payload_col: str = "payload",
+    decode_fn=None,
+    keep_bad: bool = False,
+) -> DataFrame:
+    """Decode-probe filter: try-decode each payload and keep rows whose
+    payload decodes (or, with keep_bad=True, append a `decode_ok` flag
+    instead of filtering). Run this BEFORE a vision pipeline on untrusted
+    corpora — a single corrupt payload inside an Arrow batch would
+    otherwise fail the task (and, after Spark's retry budget, the job).
+    The probe decodes in the same executor pass that would re-decode in
+    the pipeline; at scale the second decode is cheap relative to the
+    model forward, and the filtered scan lets the pipeline assume clean
+    inputs."""
+    if decode_fn is None:
+        decode_fn = auto_decode
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("decode_ok", T.BooleanType())]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok = []
+            for payload in pdf[payload_col]:
+                try:
+                    decode_fn(bytes(payload))
+                    ok.append(True)
+                except Exception:
+                    ok.append(False)
+            out = pdf.copy()
+            out["decode_ok"] = ok
+            yield out
+
+    probed = df.mapInPandas(probe, schema=schema)
+    if keep_bad:
+        return probed
+    return probed.filter(F.col("decode_ok")).drop("decode_ok")
+
+
 def fake_decode(payload: bytes) -> np.ndarray:
     """Parse the synthetic header → HWC uint8 array. Raises on foreign
     bytes (auto_decode routes those to a real decoder when one exists)."""

@@ -332,3 +332,25 @@ def test_vision_pipelines_handle_empty_input(spark):
     assert image_classify(empty, top_k=3, backend="hash").count() == 0
     assert object_detect(empty, backend="hash").count() == 0
     assert audio_classify(empty, backend="hash").count() == 0
+
+
+def test_validate_media_filters_corrupt_payloads(spark):
+    from pyspark.sql import functions as F
+
+    from informers_spark.operators.multimodal import validate_media
+    from informers_spark.pipelines.vision import image_classify
+
+    media = _media(spark, 6)
+    # corrupt half the payloads (truncate to 5 bytes)
+    corrupted = media.withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 2 == 0, F.col("payload")).otherwise(
+            F.expr("substring(payload, 1, 5)")
+        ),
+    )
+    clean = validate_media(corrupted)
+    assert clean.count() == 3
+    # the pipeline runs clean after the probe filter
+    assert image_classify(clean, top_k=1, backend="hash").count() == 3
+    flagged = validate_media(corrupted, keep_bad=True)
+    assert flagged.filter("NOT decode_ok").count() == 3
