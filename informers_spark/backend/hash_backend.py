@@ -153,6 +153,11 @@ class HashBackend:
         all_logits, all_offsets = [], []
         tag_cache = self._tag_cache  # word → tag|None memo (small vocab,
         # huge token volume: regex + gazetteer once per DISTINCT word)
+        if len(tag_cache) > 1_000_000:
+            # executor-singleton backend lives for the worker's lifetime;
+            # a code corpus streams unbounded distinct identifiers —
+            # cap like _ctx_stats so long-lived workers don't OOM
+            tag_cache.clear()
         label_idx = {l: i for i, l in enumerate(_NER_LABELS)}
         for text in texts:
             rows: list[tuple[str, int, int, str]] = []  # (piece, s, e, label)

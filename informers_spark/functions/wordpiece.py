@@ -34,7 +34,12 @@ class WordPieceTokenizer:
         """Greedy longest-match split of one word → [(piece, rel_s, rel_e)]
         with '##' continuations; None when any position has no match
         (→ whole word becomes UNK, the HF WordPiece rule)."""
-        w = word.lower() if self.lowercase else word
+        # Lowercase PER CANDIDATE SLICE, not the whole word up front:
+        # Unicode case folding can change string length ('İ' → 'i̇'), and
+        # offsets must index the ORIGINAL word (callers map them onto the
+        # source text). Slicing the original keeps offsets exact; only
+        # the vocab lookup sees the lowered form.
+        w = word
         pieces: list[tuple[str, int, int]] = []
         pos = 0
         while pos < len(w):
@@ -43,7 +48,7 @@ class WordPieceTokenizer:
             end = len(w)
             found = None
             while end > pos:
-                sub = w[pos:end]
+                sub = w[pos:end].lower() if self.lowercase else w[pos:end]
                 cand = ("##" + sub) if pos > 0 else sub
                 if cand in self.vocab:
                     found = (cand, pos, end)

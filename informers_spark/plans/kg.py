@@ -213,6 +213,10 @@ def build_kg(
         t.start()
     for t in threads:
         t.join()
-    if errors:
+    if len(errors) == 1:
         raise errors[0]
+    if errors:
+        # both writes failed — surface BOTH causes (a dual failure often
+        # has two distinct roots, e.g. dir perms vs partition schema)
+        raise ExceptionGroup("parallel nodes/edges materialization failed", errors)
     return metrics

@@ -13,6 +13,17 @@ def _plan(df) -> str:
     )
 
 
+def _scan_to_udf(plan: str) -> str:
+    """Tree segment from the INNERMOST MapInPandas down to the scan.
+
+    Formatted explain prints the tree root-first, so anything upstream of
+    the UDF (closer to the scan) appears AFTER the 'MapInPandas' token —
+    `plan.split("MapInPandas")[0]` inspects the downstream side and can
+    never catch a shuffle inserted before the UDF."""
+    tree = plan.split("\n\n")[0]
+    return tree[tree.rfind("MapInPandas"):]
+
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -56,8 +67,8 @@ def test_inference_udf_runs_on_scan_partitioning(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     plan = _plan(embed(docs, backend="hash"))
-    before_udf = plan.split("MapInPandas")[0]
-    assert "Exchange" not in before_udf
+    seg = _scan_to_udf(plan)
+    assert "Scan parquet" in seg and "Exchange" not in seg
 
 
 def test_knn_broadcasts_queries(spark):
@@ -101,8 +112,8 @@ def test_generate_udf_runs_on_scan_partitioning(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     plan = _plan(generate_text(docs, backend="hash"))
-    before_udf = plan.split("MapInPandas")[0]
-    assert "Exchange" not in before_udf
+    seg = _scan_to_udf(plan)
+    assert "Scan parquet" in seg and "Exchange" not in seg
 
 
 def test_vision_query_prunes_scan_and_avoids_exchange(spark):
@@ -116,5 +127,7 @@ def test_vision_query_prunes_scan_and_avoids_exchange(spark):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" in read_schema
     assert "text" not in read_schema
-    scan_to_sort = plan.split("Sort")[0]
-    assert "Exchange" not in scan_to_sort
+    # innermost UDF down to the scan: no shuffle under the media gen +
+    # classify mapInPandas pair (the orderBy's Exchange sits above them)
+    seg = _scan_to_udf(plan)
+    assert "Scan parquet" in seg and "Exchange" not in seg

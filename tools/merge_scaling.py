@@ -34,22 +34,36 @@ def main():
             key = (r["n_files"], r["cores"])
             if want_n and r["n_files"] != want_n:
                 continue
+            stage_min = r.get("stage_sec_min", r.get("stage_sec"))
+            if stage_min is None:
+                continue  # killed/old-format run without stage timing
             cur = best.get(key)
             entry = {
                 "wall_sec": r["wall_sec"],
                 "steal_jiffies": r.get("steal_jiffies"),
                 "files_per_sec": r["files_per_sec"],
                 "triples_per_sec": r["triples_per_sec"],
-                "stage_sec_min": r.get("stage_sec_min", r.get("stage_sec")),
+                "stage_sec_min": dict(stage_min),
                 "source": os.path.basename(path),
             }
-            if cur is None or entry["wall_sec"] < cur["wall_sec"]:
+            if cur is None:
                 best[key] = entry
-            else:
-                # still merge per-stage minima across runs
-                for k, v in entry["stage_sec_min"].items():
-                    if v is not None and v < best[key]["stage_sec_min"].get(k, 9e9):
-                        best[key]["stage_sec_min"][k] = v
+                continue
+            # per-stage minima merge SYMMETRICALLY across runs: whichever
+            # run carries the headline wall, every stage keeps its
+            # cross-run minimum (a one-directional replace would discard
+            # the loser's better stages and make the result order-dependent)
+            merged = {
+                k: min(
+                    v for v in (cur["stage_sec_min"].get(k), entry["stage_sec_min"].get(k))
+                    if v is not None
+                )
+                for k in set(cur["stage_sec_min"]) | set(entry["stage_sec_min"])
+            }
+            winner = entry if entry["wall_sec"] < cur["wall_sec"] else cur
+            winner = dict(winner)
+            winner["stage_sec_min"] = merged
+            best[key] = winner
 
     out = {}
     ns = {n for n, _ in best}
