@@ -99,6 +99,9 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        # joined EVERY iteration: without this the edge scan + union +
+        # full-shuffle distinct re-execute once per pointer-jumping round
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("u").alias("node"))

@@ -70,6 +70,23 @@ def extract_structural_triples(files: DataFrame) -> DataFrame:
     )
 
 
+def mention_triples_from_mentions(
+    mentions: DataFrame,
+    groups: tuple[str, ...] = ("PER", "ORG", "LOC"),
+) -> DataFrame:
+    """Typed-group filter + (subj, pred, obj, score, src_sha256)
+    projection over an existing mentions table — the ONE definition of
+    which entity groups enter the graph (build_kg and
+    extract_mention_triples both call it; keep them from drifting)."""
+    return mentions.filter(F.col("entity_group").isin(*groups)).select(
+        F.col("repo").alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.col("word").alias("obj"),
+        F.col("score"),
+        F.col("content_sha256").alias("src_sha256"),
+    )
+
+
 def extract_mention_triples(
     files: DataFrame,
     backend: str = "auto",
@@ -82,13 +99,7 @@ def extract_mention_triples(
         text_col="text",
         backend=backend,
     )
-    return mentions.filter(F.col("entity_group").isin(*groups)).select(
-        F.col("repo").alias("subj"),
-        F.lit("mentions").alias("pred"),
-        F.col("word").alias("obj"),
-        F.col("score"),
-        F.col("content_sha256").alias("src_sha256"),
-    )
+    return mention_triples_from_mentions(mentions, groups)
 
 
 def mentions_table(files: DataFrame, backend: str = "auto") -> DataFrame:

@@ -29,19 +29,17 @@ from informers_spark.pipelines.embed import embed
 
 
 def _char_shingle_fps(col, n: int = 3):
-    """Portable fingerprints of character n-grams of lower(col)."""
+    """Portable fingerprints of character n-grams of lower(col) —
+    hashed with the SHARED rolling-hash helper (similarity._fp_str), so
+    one definition of the portable fingerprint exists repo-wide (the
+    previous inline fold also folded split()'s trailing empty string,
+    silently diverging from the shared values)."""
+    from informers_spark.functions.similarity import _fp_str
+
     s = F.lower(col)
     cnt = F.greatest(F.length(s) - (n - 1), F.lit(1))
     grams = F.transform(F.sequence(F.lit(1), cnt), lambda i: F.substring(s, i, n))
-    fps = F.transform(
-        grams,
-        lambda g: F.aggregate(
-            F.split(g, ""),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2_147_483_647),
-        ),
-    )
-    return F.array_distinct(fps)
+    return F.array_distinct(F.transform(grams, _fp_str))
 
 
 def candidate_pairs(

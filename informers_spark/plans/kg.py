@@ -29,8 +29,8 @@ from pyspark.sql import functions as F
 
 from informers_spark.operators.canon import connected_components
 from informers_spark.operators.extract import (
-    extract_mention_triples,
     extract_structural_triples,
+    mention_triples_from_mentions,
     mentions_table,
 )
 from informers_spark.operators.link import link_entities
@@ -91,8 +91,13 @@ def build_kg(
     # 1. files — carry content_sha256 from here through every stage
     if "content_sha256" not in files.columns:
         files = files.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-    # the salt repartition already distributes rows (hot-repo spreading);
-    # a second REBALANCE shuffle before the write would be redundant
+    # the salt repartition distributes the generation/extract compute
+    # (hot-repo spreading); skipping the REBALANCE avoids a second full
+    # shuffle of the content column. Trade-off: with partitionBy(lang),
+    # mixed-lang tasks emit ~|langs| files each (tasks x langs) — at the
+    # sandbox's measured commit costs the extra shuffle lost more than
+    # the file-count saved; on a 1000-executor cluster with a metadata-
+    # bound committer, flip rebalance=True so tasks hold one-lang slices
     files_t = stage(
         "files",
         lambda: salt_partition(files, partitions, "repo", "path"),
@@ -124,23 +129,32 @@ def build_kg(
     # 4. raw triples: structural ∪ mentions
     def make_raw():
         structural = extract_structural_triples(files_t)
-        mention_triples = (
-            mentions.filter(F.col("entity_group").isin("PER", "ORG", "LOC"))
-            .select(
-                F.col("repo").alias("subj"),
-                F.lit("mentions").alias("pred"),
-                F.col("word").alias("obj"),
-                F.col("score"),
-                F.col("content_sha256").alias("src_sha256"),
+        mention_triples = mention_triples_from_mentions(mentions)
+        # deterministic dedup: dropDuplicates keeps an ARBITRARY
+        # score/src_sha256 per key (varies with partitioning/timing,
+        # breaking the rerun-identical-output contract); aggregate to the
+        # max score + min sha instead
+        return (
+            structural.unionAll(mention_triples)
+            .groupBy("subj", "pred", "obj")
+            .agg(
+                F.max("score").alias("score"),
+                F.min("src_sha256").alias("src_sha256"),
             )
         )
-        return structural.unionAll(mention_triples).dropDuplicates(["subj", "pred", "obj"])
 
     triples_raw = stage("triples_raw", make_raw)
 
-    # 5. entity linking over distinct mention surfaces
+    # 5. entity linking over distinct mention surfaces — SAME typed-group
+    # filter as the mention triples in stage 4: linking (and embedding)
+    # a surface that can never appear in the graph wastes inference and
+    # emits orphan same_as components
     def make_same_as():
-        surfaces = mentions.select(F.col("word").alias("surface")).distinct()
+        surfaces = (
+            mentions.filter(F.col("entity_group").isin("PER", "ORG", "LOC"))
+            .select(F.col("word").alias("surface"))
+            .distinct()
+        )
         return link_entities(surfaces, threshold=link_threshold, backend=backend)
 
     same_as = stage("same_as", make_same_as)

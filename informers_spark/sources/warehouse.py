@@ -22,8 +22,11 @@ from pyspark.sql import functions as F
 
 
 def _iceberg_available(spark: SparkSession) -> bool:
+    # py4j gotcha: attribute access on a missing JVM class silently
+    # yields a JavaPackage and never raises — probe with Class.forName,
+    # which actually throws when the jar is absent
     try:
-        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
         return True
     except Exception:
         return False
@@ -57,6 +60,14 @@ class Warehouse:
         from pyspark.sql import Observation
 
         t0 = time.time()
+        # crash consistency: a manifest from a PREVIOUS run must not
+        # survive into this overwrite — if the job dies mid-write, the
+        # stale manifest would make is_complete() trust partial data on
+        # the next resume. Remove first; it is rewritten only on success.
+        try:
+            os.remove(self._path(f"{name}._manifest.json"))
+        except FileNotFoundError:
+            pass
         if out_partitions:
             df = df.repartition(out_partitions)
         elif rebalance:
@@ -75,10 +86,15 @@ class Warehouse:
         obs = Observation()
         df = df.observe(obs, *aggs)
         if self.use_iceberg:
-            writer = df.writeTo(f"{self.catalog}.{name}").using("iceberg")
-            if partition_by:
-                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
-            writer.createOrReplace()
+            if mode == "append":
+                # honor the mode the parquet path honors — silently
+                # replacing on append would lose data on a real catalog
+                df.writeTo(f"{self.catalog}.{name}").append()
+            else:
+                writer = df.writeTo(f"{self.catalog}.{name}").using("iceberg")
+                if partition_by:
+                    writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+                writer.createOrReplace()
         else:
             w = df.write.mode(mode)
             if partition_by:

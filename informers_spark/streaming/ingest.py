@@ -79,6 +79,15 @@ def stateful_sessionize(
     the state in event-time order and emits the user's updated totals.
     State expires on processing-time timeout so it stays bounded.
 
+    Timeout semantics (explicit contract): expiry DROPS the counters —
+    the final totals were already emitted with the user's last update, so
+    a sink keyed on user_id holds them; but if the user RETURNS after
+    expiry, counting restarts at (1, 1) and the next update REGRESSES
+    the sink row. Downstream consumers that need lifetime totals must
+    aggregate updates (sum of per-expiry maxima) or persist the final
+    row on timeout; with timeouts disabled (timeout_minutes large) the
+    stream matches the batch gaps-and-islands sessionize exactly.
+
     → stream of (user_id, n_sessions, n_events) updates. Same semantics
     as the batch gaps-and-islands sessionize (q_events_sessionize) when
     events arrive in order."""
