@@ -6,8 +6,12 @@ entry()      — flagship KG-style query over the sf0.001 driver tables:
 queries()    — one callable per implemented operator (SURVEY.md §2 +
                training-data ops); implemented in informers_spark.queries.
 oracle_sql() — DuckDB-equivalent SQL per query (same constants inlined);
-               q_embed_docs / q_ner_docs are deterministic-backend
-               inference and intentionally omitted (rows-only checks).
+               NER has an exact SQL oracle; md5-seeded inference outputs
+               (embed / QA / fill-mask / generate / vision / audio) are
+               pinned by frozen parquet fixtures wired into oracle_sql()
+               (queries.FIXTURE_QUERIES). Only q_approx_distinct and
+               q_minhash_pairs_fast are rows-only, by design — each is
+               the engine-specific twin of an oracle-checked query.
 """
 
 from __future__ import annotations

@@ -53,7 +53,15 @@ def rerank(
 
     scored = df.mapInPandas(infer, schema=schema)
     keys = group_cols if group_cols is not None else [query_col]
-    w = Window.partitionBy(*keys).orderBy(F.desc("score"), *[F.col(c) for c in [doc_col]])
+    # tie-break: score desc, doc text asc, then EVERY remaining input
+    # column — duplicate texts (the corpus has exact dups by design)
+    # would otherwise get run-dependent ranks
+    tie_cols = [doc_col] + [
+        f.name for f in df.schema.fields if f.name not in (doc_col, "score")
+    ]
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc("score"), *[F.col(c) for c in tie_cols]
+    )
     scored = scored.withColumn("rank", F.row_number().over(w))
     if top_k:
         scored = scored.filter(F.col("rank") <= top_k)

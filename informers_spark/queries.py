@@ -29,6 +29,23 @@ from informers_spark.pipelines.rerank import rerank
 KEYWORDS = ["spark", "hash", "join", "merge", "stream", "window", "scan", "sort", "batch", "table"]
 ZS_LABELS = ["storage", "query", "streaming"]
 RERANK_QUERY = "fast hash join table"
+
+# the zero-shot SQL oracles hard-code |hypothesis tokens| = 3 for the
+# template "This example is {}." (after stopword removal: example + the
+# label) and match premise tokens against {'example', label} — valid only
+# while every label is ONE non-stopword word. Enforce at import so an
+# edited label list cannot silently desynchronize the oracle.
+def _assert_zs_oracle_assumptions():
+    from informers_spark.backend.hash_backend import _STOP
+
+    for lbl in ZS_LABELS:
+        assert " " not in lbl and lbl.lower() not in _STOP, (
+            f"ZS label {lbl!r} breaks the zero-shot SQL oracle's "
+            "single-non-stopword-label assumption — rederive _zero_shot_sql"
+        )
+
+
+_assert_zs_oracle_assumptions()
 POSITIVE = sorted(["love", "great", "good", "fast", "excellent", "best", "like", "happy"])
 NEGATIVE = sorted(["hate", "bad", "slow", "terrible", "worst", "broken", "sad", "bug"])
 
@@ -353,8 +370,8 @@ Q_JSON_SQL = """
 -- ::BIGINT on the sum (DuckDB SUM(BIGINT) → HUGEINT) and ROUND on the
 -- raw double quotient, so both engines emit hash-identical values
 SELECT event_type, COUNT(*) AS n,
-       (SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)))::BIGINT AS sum_k,
-       ROUND((SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)))::DOUBLE / COUNT(*), 6) AS avg_k
+       (SUM(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)))::BIGINT AS sum_k,
+       ROUND((SUM(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)))::DOUBLE / COUNT(*), 6) AS avg_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -408,7 +425,10 @@ def q_stream_window(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()  # never leave the named stream registered/running
     finally:
         shutil.rmtree(land, ignore_errors=True)
     return spark.table(name).orderBy("window_start", "event_type")
@@ -669,9 +689,10 @@ def q_jaccard_sample(spark, sf_dir):
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("a"), F.col("b.id").alias("b"),
-            F.round(jaccard(F.col("a.fps"), F.col("b.fps")), 6).alias("jac"),
+            jaccard(F.col("a.fps"), F.col("b.fps")).alias("jac_raw"),
         )
-        .filter(F.col("jac") >= 0.05)
+        .filter(F.col("jac_raw") >= 0.05)  # threshold on RAW, like the oracle
+        .select("a", "b", F.round("jac_raw", 6).alias("jac"))
         .orderBy("a", "b")
     )
 
@@ -1090,26 +1111,32 @@ FROM pairs ORDER BY doc_id, candidate_label
 def q_rerank_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     pairs = docs.select("doc_id", F.lit(RERANK_QUERY).alias("query"), "text")
-    out = rerank(pairs, query_col="query", doc_col="text", top_k=10)
+    out = rerank(pairs, query_col="query", doc_col="text", top_k=10, backend="hash")
     return out.select(
         "doc_id", F.round(F.col("score").cast("double"), 4).alias("score"), "rank"
     ).orderBy("rank")
 
 
 def _rerank_sql() -> str:
-    # hash-backend rerank: sigmoid(8 * |q∩d| / |q| - 4); query tokens
-    # {fast, hash, join, table} (4, none are stopwords); rank by score
-    # desc then doc text asc (pipeline tie-break), top 10.
+    # hash-backend rerank: sigmoid(8 * |q∩d| / |q| - 4); query tokens and
+    # denominator DERIVED from RERANK_QUERY (the module ground rule:
+    # oracles share the engine's constants); rank by score desc, text
+    # asc, doc_id asc (the pipeline's full tie-break), top 10.
+    from informers_spark.backend.hash_backend import _STOP
+
     stop = _STOP_SQL
+    # same prep as hash_backend.rerank: lowercase tokens minus stopwords
+    qtoks = sorted({t.lower() for t in RERANK_QUERY.split()} - _STOP)
+    qlist = ", ".join(f"'{t}'" for t in qtoks)
     dtoks = f"list_filter(list_distinct(list_transform({_DUCK_TOKENS}, t -> lower(t))), t -> NOT list_contains({stop}, t))"
     return f"""
 WITH scored AS (
   SELECT doc_id, text,
-         (1.0 / (1.0 + EXP(-(8.0 * len(list_filter({dtoks}, t -> list_contains(['fast','hash','join','table'], t)))::DOUBLE / 4.0 - 4.0))))::FLOAT AS score
+         (1.0 / (1.0 + EXP(-(8.0 * len(list_filter({dtoks}, t -> list_contains([{qlist}], t)))::DOUBLE / {len(qtoks)}.0 - 4.0))))::FLOAT AS score
   FROM documents WHERE doc_id < 200
 ),
 ranked AS (
-  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, text ASC) AS rank
+  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, text ASC, doc_id ASC) AS rank
   FROM scored
 )
 SELECT doc_id, ROUND(score::DOUBLE, 4) AS score, rank FROM ranked WHERE rank <= 10
