@@ -259,11 +259,15 @@ class OnnxBackend:
         return outs[0].astype(np.float32)
 
     def segment_forward(self, pixel_values: np.ndarray, labels=None, **_):
-        """MaskFormer-style session: (class_queries_logits,
-        masks_queries_logits) output slots (the shapes
-        processors.rb:446-473 consumes)."""
+        """MaskFormer-style session: (class_queries_logits, mask PROBS)
+        — backend contract: the mask slot returns sigmoid(
+        masks_queries_logits), matching the reference's
+        post_process_panoptic_segmentation which sigmoids before
+        remove_low_and_no_objects/compute_segments (processors.rb:614);
+        the hash backend already emits (0,1) masks natively."""
         outs = self._run_feeds({"pixel_values": np.asarray(pixel_values, np.float32)})
-        cls, masks = outs[0].astype(np.float32), outs[1].astype(np.float32)
+        cls = outs[0].astype(np.float32)
+        masks = (1.0 / (1.0 + np.exp(-outs[1].astype(np.float64)))).astype(np.float32)
         id2label = list(labels) if labels else (
             self.id2label or [str(i) for i in range(cls.shape[-1] - 1)]
         )

@@ -378,14 +378,26 @@ def compute_segments(
     h, w = mask_probs.shape[1:]
     segmentation = np.zeros((h, w), dtype=np.int64)
     segments = []
-    # weigh each mask by its prediction score (processors.rb:543-545)
+    # weigh each mask by its prediction score (processors.rb:538-554).
+    # The reference updates mask_probs IN-PLACE, so every later read of
+    # mask_probs (check_segment_validity's original_area) sees the
+    # WEIGHTED values — mirror that by using `weighted` below.
     weighted = mask_probs * pred_scores[:, None, None]
-    mask_labels = np.argmax(weighted, axis=0)  # [H, W] query index
+    # best_scores starts at 0 and a pixel is claimed only on a STRICT
+    # improvement (processors.rb:536,548-551): pixels whose weighted
+    # score is ≤ 0 for every query belong to NO query (label -1 here,
+    # nil upstream) — plain argmax would credit them to query 0.
+    # np.argmax's first-max-wins matches the reference's ascending scan
+    # with strict `>` (later ties never overwrite).
+    best = weighted.max(axis=0)
+    mask_labels = np.where(best > 0, np.argmax(weighted, axis=0), -1)
     current_segment_id = 0
     for k in range(len(pred_labels)):
         mask_k = mask_labels == k
         mask_k_area = int(mask_k.sum())
-        original_area = int((mask_probs[k] >= mask_threshold).sum())
+        # original_area counts the WEIGHTED mask (in-place upstream,
+        # processors.rb:485-497 reads mask_probs after the *= score)
+        original_area = int((weighted[k] >= mask_threshold).sum())
         mask_exists = mask_k_area > 0 and original_area > 0
         if mask_exists:
             # Ruby integer division parity (check_segment_validity): the

@@ -106,7 +106,8 @@ def zero_shot_audio_classify(
         + [T.StructField("label", T.StringType()), T.StructField("score", T.FloatType())]
     )
     keep_names = [f.name for f in keep]
-    texts = [hypothesis_template.replace("{}", x) for x in candidate_labels]
+    # Ruby String#sub replaces only the FIRST "{}" (pipelines.rb:951)
+    texts = [hypothesis_template.replace("{}", x, 1) for x in candidate_labels]
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from informers_spark.backend.base import get_backend

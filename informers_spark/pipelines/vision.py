@@ -187,7 +187,8 @@ def zero_shot_image_classify(
         ]
     )
     keep_names = [f.name for f in keep]
-    texts = [hypothesis_template.replace("{}", x) for x in candidate_labels]
+    # Ruby String#sub replaces only the FIRST "{}" (pipelines.rb:641)
+    texts = [hypothesis_template.replace("{}", x, 1) for x in candidate_labels]
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from informers_spark.backend.base import get_backend
@@ -456,8 +457,11 @@ def depth_estimate(
                 mx = float(pred.max())
                 # guard the reference's unguarded 255/max (pipelines.rb:
                 # 1028): an all-zero depth map formats to zeros, not NaN
+                # Ruby Float#round rounds half AWAY from zero
+                # (pipelines.rb:1029); np.round is half-to-even — use
+                # floor(x+0.5), exact for these non-negative values
                 formatted = (
-                    np.round(pred * 255.0 / mx).astype(np.int64)
+                    np.floor(pred * 255.0 / mx + 0.5).astype(np.int64)
                     if mx > 0
                     else np.zeros_like(pred, dtype=np.int64)
                 )
@@ -510,7 +514,9 @@ def image_to_image(
             rows = []
             bases = _base_tuples(pdf, keep_names)
             for i in range(len(pdf)):
-                img = np.round(np.clip(out_px[i], 0, 1) * 255).astype(np.uint8)
+                # Ruby half-away-from-zero rounding (pipelines.rb:1003),
+                # not np.round's half-to-even; inputs are clamped ≥ 0
+                img = np.floor(np.clip(out_px[i], 0, 1) * 255 + 0.5).astype(np.uint8)
                 hwc = img.transpose(1, 2, 0)
                 base = bases[i]
                 rows.append(

@@ -39,10 +39,13 @@ def _assert_zs_oracle_assumptions():
     from informers_spark.backend.hash_backend import _STOP
 
     for lbl in ZS_LABELS:
-        assert " " not in lbl and lbl.lower() not in _STOP, (
-            f"ZS label {lbl!r} breaks the zero-shot SQL oracle's "
-            "single-non-stopword-label assumption — rederive _zero_shot_sql"
-        )
+        # explicit raise, not assert: python -O strips asserts and would
+        # silently stop enforcing the oracle invariant
+        if " " in lbl or lbl.lower() in _STOP:
+            raise ValueError(
+                f"ZS label {lbl!r} breaks the zero-shot SQL oracle's "
+                "single-non-stopword-label assumption — rederive _zero_shot_sql"
+            )
 
 
 _assert_zs_oracle_assumptions()
