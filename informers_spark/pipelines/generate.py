@@ -120,6 +120,10 @@ def generate_text(
     min_length: int = 0,
     no_repeat_ngram_size: int = 0,
     forced_bos_token_id: int | None = None,
+    repetition_penalty: float | None = None,
+    bad_words_ids: list[list[int]] | None = None,
+    min_new_tokens: int | None = None,
+    forced_decoder_ids: list[list[int]] | None = None,
     num_beams: int = 1,
     top_k: int = 50,
     temperature: float = 1.0,
@@ -154,6 +158,10 @@ def generate_text(
                 min_length=min_length,
                 no_repeat_ngram_size=no_repeat_ngram_size,
                 forced_bos_token_id=forced_bos_token_id,
+                repetition_penalty=repetition_penalty,
+                bad_words_ids=bad_words_ids,
+                min_new_tokens=min_new_tokens,
+                forced_decoder_ids=forced_decoder_ids,
             )
             if num_beams > 1:
                 ids_out = _beam_decode(

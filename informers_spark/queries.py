@@ -1216,6 +1216,20 @@ def q_generate_docs(spark, sf_dir):
     return out.select("doc_id", "generated_text").orderBy("doc_id")
 
 
+def q_generate_penalized(spark, sf_dir):
+    """Greedy generation with repetition_penalty=1.5 — exercises
+    RepetitionPenaltyLogitsProcessor (wired at models.rb:360-362; class
+    undefined upstream, implemented with transformers.js semantics).
+    Fixture oracle: md5-seeded vectors are not SQL-expressible."""
+    from informers_spark.pipelines.generate import generate_text
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id", "text")
+    out = generate_text(
+        docs, backend="hash", max_new_tokens=6, repetition_penalty=1.5
+    )
+    return out.select("doc_id", "generated_text").orderBy("doc_id")
+
+
 def _media(spark, sf_dir, kind: str, limit: int):
     """Synthetic media table seeded per doc_id (executor-side generation,
     operators/multimodal.py:media_from_documents) — the vision/audio
@@ -1485,6 +1499,8 @@ QUERIES = {
     "q_zero_shot_audio": q_zero_shot_audio,
     "q_text_to_audio": q_text_to_audio,
     "q_doc_qa": q_doc_qa,
+    # -- new in r03 --
+    "q_generate_penalized": q_generate_penalized,
     # -- verified once (r02 only) --
     "q_classify_topk": q_classify_topk,
     "q_generate_docs": q_generate_docs,
@@ -1601,6 +1617,7 @@ FIXTURE_QUERIES = [
     "q_qa_docs",
     "q_fill_mask_docs",
     "q_generate_docs",
+    "q_generate_penalized",
     # vision/audio: md5-seeded forwards, reference-parity post-processing
     "q_image_classify",
     "q_image_classify_all",

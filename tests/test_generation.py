@@ -6,8 +6,12 @@ import pytest
 
 from informers_spark.functions.generation import (
     ForcedBOSTokenLogitsProcessor,
+    ForceTokensLogitsProcessor,
     MinLengthLogitsProcessor,
+    MinNewTokensLengthLogitsProcessor,
+    NoBadWordsLogitsProcessor,
     NoRepeatNGramLogitsProcessor,
+    RepetitionPenaltyLogitsProcessor,
     build_processors,
     greedy_sample,
 )
@@ -58,14 +62,99 @@ def test_forced_bos_only_at_first_step():
 
 
 def test_build_processors_wiring():
+    # reference wiring ORDER, models.rb:353-408: ngram -> min_length ->
+    # forced_bos (repetition/bad_words/min_new/forced_decoder off here)
     procs = build_processors(
         eos_token_id=5, min_length=2, no_repeat_ngram_size=2, forced_bos_token_id=1
     )
     assert [type(p).__name__ for p in procs] == [
         "NoRepeatNGramLogitsProcessor",
-        "ForcedBOSTokenLogitsProcessor",
         "MinLengthLogitsProcessor",
+        "ForcedBOSTokenLogitsProcessor",
     ]
+
+
+def test_build_processors_full_wiring_order():
+    # all eight config keys on -> full models.rb:353-408 order
+    procs = build_processors(
+        eos_token_id=5,
+        min_length=2,
+        no_repeat_ngram_size=2,
+        forced_bos_token_id=1,
+        repetition_penalty=1.5,
+        bad_words_ids=[[3]],
+        min_new_tokens=2,
+        forced_eos_token_id=5,
+        forced_decoder_ids=[[1, 2]],
+    )
+    assert [type(p).__name__ for p in procs] == [
+        "RepetitionPenaltyLogitsProcessor",
+        "NoRepeatNGramLogitsProcessor",
+        "NoBadWordsLogitsProcessor",
+        "MinLengthLogitsProcessor",
+        "MinNewTokensLengthLogitsProcessor",
+        "ForcedBOSTokenLogitsProcessor",
+        "ForcedEOSTokenLogitsProcessor",
+        "ForceTokensLogitsProcessor",
+    ]
+    # repetition_penalty == 1.0 is the reference's explicit no-wire case
+    assert build_processors(eos_token_id=5, repetition_penalty=1.0) == []
+
+
+def test_repetition_penalty_hand_values():
+    # transformers.js semantics (class is wired at models.rb:360-362 but
+    # never defined upstream): logit<0 -> *= penalty, else /= penalty
+    p = RepetitionPenaltyLogitsProcessor(2.0)
+    out = p([0, 2], np.array([4.0, 6.0, -3.0, 1.0]))
+    assert out.tolist() == [2.0, 6.0, -6.0, 1.0]
+    # a token generated twice is penalized twice (loop over ids)
+    out = p([1, 1], np.array([0.0, 8.0]))
+    assert out[1] == 2.0
+
+
+def test_no_bad_words_hand_values():
+    logits = np.zeros(6)
+    # multi-token bad word [3, 4]: banned only when ids end with prefix 3
+    p = NoBadWordsLogitsProcessor([[3, 4]], eos_token_id=5)
+    out = p([0, 1, 3], logits.copy())
+    assert out[4] == -np.inf
+    out = p([0, 3, 1], logits.copy())
+    assert np.isfinite(out).all()
+    # single-token bad word: zero prefix checks -> always banned
+    # (transformers.js loop-guard quirk, transcribed faithfully)
+    p1 = NoBadWordsLogitsProcessor([[2]], eos_token_id=5)
+    out = p1([0, 1], logits.copy())
+    assert out[2] == -np.inf
+    # sequence not shorter than ids skips the prefix check -> banned
+    p2 = NoBadWordsLogitsProcessor([[9, 9, 4]], eos_token_id=5)
+    out = p2([0, 1], logits.copy())
+    assert out[4] == -np.inf
+
+
+def test_min_new_tokens_hand_values():
+    # new_tokens = len(ids) - prompt_length_to_skip; eos banned while
+    # new_tokens < min_new_tokens (transformers.js semantics; wired at
+    # models.rb:376-382, class undefined upstream)
+    p = MinNewTokensLengthLogitsProcessor(1, 2, 5)
+    assert p([0], np.ones(6))[5] == -np.inf       # 0 new < 2
+    assert p([0, 1], np.ones(6))[5] == -np.inf    # 1 new < 2
+    assert p([0, 1, 2], np.ones(6))[5] == 1.0     # 2 new, free
+    # list-valued eos
+    p2 = MinNewTokensLengthLogitsProcessor(0, 1, [4, 5])
+    out = p2([], np.ones(6))
+    assert out[4] == -np.inf and out[5] == -np.inf
+
+
+def test_force_tokens_hand_values():
+    # force_token_map keyed by len(ids) (transformers.js semantics;
+    # wired at models.rb:399-401, class undefined upstream)
+    p = ForceTokensLogitsProcessor([[1, 3], [2, 0]])
+    out = p([9], np.ones(5))
+    assert out[3] == 0.0 and (out[[0, 1, 2, 4]] == -np.inf).all()
+    out = p([9, 3], np.ones(5))
+    assert out[0] == 0.0 and (out[1:] == -np.inf).all()
+    out = p([9, 3, 0], np.ones(5))
+    assert (out == 1.0).all()  # no entry for index 3
 
 
 def test_generate_text_deterministic_and_stops(spark):
