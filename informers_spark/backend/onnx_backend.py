@@ -83,6 +83,16 @@ class OnnxBackend:
             self.label2id = parsed["label2id"]
         self._decode_cache: dict[int, str] = {}
 
+    def set_padding_side(self, side: str) -> None:
+        """tokenizer.padding_side= (reference tokenizers.rb:141-143 →
+        enable_padding(direction:)); the text-generation pipeline sets
+        'left' before batch-encoding prompts (pipelines.rb:388) so
+        decoder-only models read next-token logits at the last position
+        for every row of an unequal-length batch."""
+        if side not in ("left", "right"):
+            raise ValueError(f"padding_side must be 'left' or 'right', got {side!r}")
+        self.tokenizer.enable_padding(direction=side)
+
     # --- tokenizer id/token conversion (reference tokenizers.rb:129-139) ----
     def id_to_token(self, tid: int) -> str | None:
         return self.tokenizer.id_to_token(tid)

@@ -79,6 +79,35 @@ class WordPieceTokenizer:
         return out
 
 
+def pad_batch(
+    ids_batch: list[list[int]],
+    pad_id: int = 0,
+    padding_side: str = "right",
+) -> tuple[list[list[int]], list[list[int]]]:
+    """Pad a batch of id sequences to the max length, returning
+    (input_ids, attention_mask). padding_side='left' pads at the FRONT —
+    the decoder-only generation convention the reference enables via
+    `tokenizer.padding_side = \"left\"` (tokenizers.rb:141-143, set by
+    the text-generation pipeline at pipelines.rb:388) so the last
+    position of every row is a real token and one batched forward reads
+    next-token logits at index -1 for all rows."""
+    if padding_side not in ("left", "right"):
+        raise ValueError(f"padding_side must be 'left' or 'right', got {padding_side!r}")
+    n = max((len(x) for x in ids_batch), default=0)
+    ids_out, mask_out = [], []
+    for row in ids_batch:
+        pad = [pad_id] * (n - len(row))
+        ones = [1] * len(row)
+        zeros = [0] * (n - len(row))
+        if padding_side == "left":
+            ids_out.append(pad + list(row))
+            mask_out.append(zeros + ones)
+        else:
+            ids_out.append(list(row) + pad)
+            mask_out.append(ones + zeros)
+    return ids_out, mask_out
+
+
 def default_vocab() -> list[str]:
     """A small deterministic vocab for offline tests: whole common words
     plus 2-char pieces, so real splits happen ('github' → gi ##th ##ub

@@ -255,3 +255,46 @@ def test_beam_search_pipeline(spark):
     assert beams == b2  # deterministic
     for v in beams.values():
         assert "</s>" not in v and len(v.split()) <= 8
+
+
+def test_pad_batch_left_and_right():
+    from informers_spark.functions.wordpiece import pad_batch
+
+    ids = [[7, 8, 9], [5]]
+    # right pad (encoder default)
+    out, mask = pad_batch(ids, pad_id=0, padding_side="right")
+    assert out == [[7, 8, 9], [5, 0, 0]]
+    assert mask == [[1, 1, 1], [1, 0, 0]]
+    # left pad (decoder-only generation, tokenizers.rb:141-143 via
+    # pipelines.rb:388): real tokens end at index -1 for every row
+    out, mask = pad_batch(ids, pad_id=0, padding_side="left")
+    assert out == [[7, 8, 9], [0, 0, 5]]
+    assert mask == [[1, 1, 1], [0, 0, 1]]
+    assert [r[-1] for r in out] == [9, 5]
+    with pytest.raises(ValueError):
+        pad_batch(ids, padding_side="top")
+    assert pad_batch([], padding_side="left") == ([], [])
+
+
+def test_generate_batch_equals_row_at_a_time(spark):
+    # decoder-only batch parity (VERDICT r02 task 4): a batch of
+    # UNEQUAL-length prompts must produce per-row outputs identical to
+    # running each prompt alone — padding/batching can never leak into
+    # the decode (the reference left-pads for exactly this reason,
+    # pipelines.rb:388)
+    from informers_spark.pipelines.generate import generate_text
+
+    rows = [
+        (0, "a"),
+        (1, "spark is a very fast distributed compute framework for big data"),
+        (2, "bug"),
+        (3, "the quick brown fox jumps over the lazy dog near the bank"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    kwargs = dict(backend="hash", max_new_tokens=6, return_full_text=True,
+                  repetition_penalty=1.5)
+    batched = {r.id: r.generated_text for r in generate_text(df, **kwargs).collect()}
+    for rid, text in rows:
+        solo_df = spark.createDataFrame([(rid, text)], ["id", "text"])
+        solo = generate_text(solo_df, **kwargs).collect()[0].generated_text
+        assert solo == batched[rid], f"row {rid} diverges batched vs solo"
