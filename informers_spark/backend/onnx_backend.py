@@ -82,6 +82,26 @@ class OnnxBackend:
             self.id2label = parsed["id2label"]
             self.label2id = parsed["label2id"]
         self._decode_cache: dict[int, str] = {}
+        # decoder-capable checkpoints ship a merged decoder session next
+        # to the encoder (optimum layout); load it when staged so the
+        # generate loop can run the KV-cache path (reference constructors
+        # take decoder_merged_session, models.rb:890-904)
+        self.decoder_session = None
+        self._kv_dims: dict = {}
+        self._raw_config: dict = {}
+        if cfg_path is not None and os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                self._raw_config = json.load(f)
+        dec_path = os.path.join(
+            os.path.dirname(model_path), f"decoder_model_merged{suffix}.onnx"
+        )
+        if os.path.exists(dec_path):
+            from informers_spark.backend.kv_cache import kv_dims_from_config
+
+            self.decoder_session = ort.InferenceSession(
+                dec_path, providers=["CPUExecutionProvider"]
+            )
+            self._kv_dims = kv_dims_from_config(self._raw_config)
 
     def set_padding_side(self, side: str) -> None:
         """tokenizer.padding_side= (reference tokenizers.rb:141-143 →
@@ -182,17 +202,59 @@ class OnnxBackend:
 
     GEN_VOCAB: list[str] = []  # populated only by decoder-capable backends
 
+    # --- KV-cache generation path (requires a staged merged decoder) -------
+
+    def seq2seq_forward(self, model_inputs: dict) -> dict:
+        """Encoder-once + cached decoder step (reference
+        models.rb:429-463); pure plumbing lives in kv_cache.py so the
+        transforms are offline-testable."""
+        from informers_spark.backend import kv_cache
+
+        if self.decoder_session is None:
+            raise RuntimeError("no decoder_model_merged staged for this checkpoint")
+
+        def encoder_forward(mi):
+            outs = self._run_feeds(
+                {
+                    "input_ids": np.asarray(mi["input_ids"], dtype=np.int64),
+                    "attention_mask": np.asarray(mi["attention_mask"], dtype=np.int64),
+                }
+            )
+            return outs[0]
+
+        return kv_cache.seq2seq_forward(
+            self.decoder_session,
+            model_inputs,
+            dims={"batch_size": len(model_inputs.get("decoder_input_ids", [1])), **self._kv_dims},
+            encoder_forward=encoder_forward,
+        )
+
+    def decoder_forward(self, model_inputs: dict) -> dict:
+        """Decoder-only forward with KV cache (reference
+        models.rb:665-689); the main session IS the decoder for GPT-style
+        checkpoints (MAIN session slot, models.rb:1090-1096)."""
+        from informers_spark.backend import kv_cache
+
+        session = self.decoder_session or self.session
+        dims = self._kv_dims or {}
+        return kv_cache.decoder_forward(
+            session,
+            model_inputs,
+            dims={"batch_size": len(model_inputs["input_ids"]), **dims},
+        )
+
     def next_logits(self, contexts, generated):
-        """Decoder step — requires a decoder/seq2seq ONNX session with
-        KV-cache plumbing (reference: lib/informers/models.rb:665-689,
-        :429-463), which v1 does not load (encoder-only scope, SURVEY.md
-        §7.6). The deterministic hash backend provides the offline
-        generation path; raising here keeps the failure designed instead
-        of an AttributeError."""
+        """Deterministic-vocab decoder step used by the offline generate
+        loop. The ONNX path instead runs seq2seq_forward/decoder_forward
+        over real token ids (KV-cache plumbing above); the string-vocab
+        contract here belongs to the hash backend, so absent a decoder
+        session this stays a designed failure rather than an
+        AttributeError."""
         raise NotImplementedError(
-            "OnnxBackend is encoder-only in v1; generation needs a decoder "
-            "session (reference: models.rb:665-689) — use backend='hash' "
-            "or stage a decoder-capable backend"
+            "OnnxBackend generation runs via seq2seq_forward/decoder_forward "
+            "over token ids (reference: models.rb:429-463, :665-689); the "
+            "string-vocab next_logits contract is the hash backend's — use "
+            "backend='hash' offline"
         )
 
     # --- vision / audio session plumbing ---------------------------------------
