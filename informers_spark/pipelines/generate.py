@@ -202,11 +202,32 @@ def summarize(df: DataFrame, text_col: str = "text", **kwargs) -> DataFrame:
 
 
 def translate(
-    df: DataFrame, text_col: str = "text", src_lang: str = "en", tgt_lang: str = "fr", **kwargs
+    df: DataFrame,
+    text_col: str = "text",
+    src_lang: str = "en",
+    tgt_lang: str = "fr",
+    lang_spec=None,
+    convert_tokens_to_ids=None,
+    **kwargs,
 ) -> DataFrame:
     """Translation = text2text with the language-pair prefix
-    (reference: pipelines.rb:356-362; NLLB lang-code forcing is
-    generation-config territory, out of v1)."""
+    (reference: pipelines.rb:356-362). With a lang_spec (NLLB/M2M100,
+    functions/translation.py), src/tgt codes are VALIDATED against the
+    spec's table and forced_bos_token_id is set to the target-lang token
+    (tokenizers.rb:216-244) — the ForcedBOSTokenLogitsProcessor then
+    forces it at the first decode step; invalid codes raise before any
+    Spark job is planned, matching the reference's driver-side error."""
+    if lang_spec is not None:
+        from informers_spark.functions.translation import build_translation_inputs
+
+        if convert_tokens_to_ids is None:
+            raise ValueError("lang_spec requires convert_tokens_to_ids")
+        gk: dict = {}
+        build_translation_inputs(
+            lang_spec, gk, convert_tokens_to_ids,
+            src_lang=src_lang, tgt_lang=tgt_lang,
+        )
+        kwargs["forced_bos_token_id"] = gk["forced_bos_token_id"]
     return generate_text(
         df,
         text_col=text_col,
