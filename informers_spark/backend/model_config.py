@@ -22,6 +22,26 @@ SEQ2SEQ_MODEL_TYPES = {"t5", "mt5", "bart", "mbart", "marian", "m2m_100", "nllb"
 DECODER_ONLY_MODEL_TYPES = {"gpt2", "gptj", "gpt_neo", "gpt_neox", "llama", "mistral", "qwen2"}
 
 
+# model_type → named pad preset (the per-model pad_image overrides the
+# reference implements as FeatureExtractor subclasses: Swin2SR
+# processors.rb:369-391, Donut :393-420, DETR pixel_mask :422-444).
+# Implementations: functions/vision.py swin2sr_pad / donut_pad /
+# detr_pixel_mask; preprocessing call sites pick by model_type here.
+PAD_PRESETS = {
+    "swin2sr": "swin2sr",
+    "donut": "donut",
+    "donut-swin": "donut",
+    "detr": "detr",
+    "table-transformer": "detr",
+}
+
+
+def pad_preset_for_model_type(model_type: str | None) -> str | None:
+    """Named pad preset for a model_type, None for the generic
+    ImageFeatureExtractor pad path (processors.rb:67-145)."""
+    return PAD_PRESETS.get(model_type) if model_type else None
+
+
 def parse_model_config(config: dict) -> dict:
     """→ {model_type, id2label (index-ordered list | None), label2id}.
 

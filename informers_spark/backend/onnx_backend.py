@@ -294,8 +294,17 @@ class OnnxBackend:
         self, pixel_values: np.ndarray, labels: list[str] | None = None, **_
     ):
         """(logits, pred_boxes, id2label) — DETR-style detection session
-        emits both (pipelines.rb:684-686 output slots)."""
-        outs = self._run_feeds({"pixel_values": np.asarray(pixel_values, np.float32)})
+        emits both (pipelines.rb:684-686 output slots). When the session
+        declares pixel_mask, feed the all-ones [B,64,64] mask the
+        reference's DetrFeatureExtractor always emits
+        (processors.rb:422-444, detr preset)."""
+        px = np.asarray(pixel_values, np.float32)
+        feeds = {"pixel_values": px}
+        if "pixel_mask" in self._input_names:
+            from informers_spark.functions.vision import detr_pixel_mask
+
+            feeds["pixel_mask"] = detr_pixel_mask(px.shape[0])
+        outs = self._run_feeds(feeds)
         logits, boxes = outs[0].astype(np.float32), outs[1].astype(np.float32)
         id2label = list(labels) if labels else (
             self.id2label or [str(i) for i in range(logits.shape[-1] - 1)]

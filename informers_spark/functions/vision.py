@@ -160,6 +160,49 @@ def pad_image(
     return out
 
 
+def swin2sr_pad(hwc: np.ndarray, pad_size: int) -> np.ndarray:
+    """Swin2SR pad preset (processors.rb:369-391): pad width/height UP to
+    the next multiple of pad_size (the sliding-window size for local
+    attention) with symmetric reflection, top-left anchored. Padding is
+    added only when the dimension is not already a multiple — the
+    reference deliberately diverges from the original python there
+    (upstream swin2sr bug, PR mv-lab/swin2sr#19, cited in the Ruby)."""
+    h, w, _ = hwc.shape
+    pad_w = w + (pad_size - w % pad_size) % pad_size
+    pad_h = h + (pad_size - h % pad_size) % pad_size
+    return pad_image(
+        hwc, pad_w, pad_h, mode="symmetric", center=False, constant_values=-1
+    )
+
+
+def donut_pad(
+    hwc: np.ndarray,
+    pad_width: int,
+    pad_height: int,
+    image_mean,
+    image_std,
+) -> np.ndarray:
+    """Donut pad preset (processors.rb:393-420): CENTER pad with
+    constant_values = -mean/std per channel — normalization runs after
+    padding, so these constants normalize to exactly 0 in the padded
+    region (the transformers donut behavior the Ruby cites)."""
+    c = hwc.shape[2]
+    mean = image_mean if isinstance(image_mean, (list, tuple)) else [image_mean] * c
+    std = image_std if isinstance(image_std, (list, tuple)) else [image_std] * c
+    constant_values = [-m / s for m, s in zip(mean, std)]
+    return pad_image(
+        hwc, pad_width, pad_height, mode="constant", center=True,
+        constant_values=constant_values,
+    )
+
+
+def detr_pixel_mask(batch_size: int, mask_size: tuple[int, int] = (64, 64)) -> np.ndarray:
+    """DETR preset (processors.rb:422-444): pixel_mask filled with 1s at
+    [batch, 64, 64] — the reference TODOs out variable-size masks and
+    always emits all-ones, transcribed faithfully."""
+    return np.ones((batch_size,) + tuple(mask_size), dtype=np.int64)
+
+
 DEFAULT_IMAGE_CONFIG = {
     # mirrors ImageFeatureExtractor config defaults (processors.rb:11-43)
     "do_resize": True,
@@ -231,8 +274,19 @@ def preprocess_image(hwc: np.ndarray, config: dict | None = None) -> dict:
         img = (img - mean) / std
     if cfg.get("do_pad") and cfg.get("pad_size"):
         ps = cfg["pad_size"]
-        pw, ph = (ps, ps) if isinstance(ps, int) else (ps["width"], ps["height"])
-        img = pad_image(img, pw, ph, mode=cfg.get("pad_mode", "constant"))
+        # model-specific pad presets (FeatureExtractor subclass overrides
+        # in the reference; chosen by model_type via
+        # backend.model_config.pad_preset_for_model_type)
+        preset = cfg.get("pad_preset")
+        if preset == "swin2sr":
+            # pad_size = attention-window size, pad UP to its multiple
+            img = swin2sr_pad(img, int(ps))
+        elif preset == "donut":
+            pw, ph = (ps, ps) if isinstance(ps, int) else (ps["width"], ps["height"])
+            img = donut_pad(img, pw, ph, cfg["image_mean"], cfg["image_std"])
+        else:
+            pw, ph = (ps, ps) if isinstance(ps, int) else (ps["width"], ps["height"])
+            img = pad_image(img, pw, ph, mode=cfg.get("pad_mode", "constant"))
 
     return {
         "pixel_values": np.ascontiguousarray(img.transpose(2, 0, 1)),

@@ -354,3 +354,84 @@ def test_validate_media_filters_corrupt_payloads(spark):
     assert image_classify(clean, top_k=1, backend="hash").count() == 3
     flagged = validate_media(corrupted, keep_bad=True)
     assert flagged.filter("NOT decode_ok").count() == 3
+
+
+def test_swin2sr_pad_to_window_multiple():
+    # processors.rb:369-391: pad UP to next multiple of pad_size,
+    # symmetric reflect, top-left anchored; no pad when already multiple
+    from informers_spark.functions.vision import (
+        calculate_reflect_offset,
+        swin2sr_pad,
+    )
+
+    img = np.arange(5 * 6 * 1, dtype=np.float64).reshape(5, 6, 1)
+    out = swin2sr_pad(img, 8)
+    assert out.shape == (8, 8, 1)
+    # original region untouched
+    assert (out[:5, :6] == img).all()
+    # padded region = symmetric reflection via calculate_reflect_offset
+    ys = calculate_reflect_offset(np.arange(8), 4)
+    xs = calculate_reflect_offset(np.arange(8), 5)
+    for y in range(8):
+        for x in range(8):
+            if y < 5 and x < 6:
+                continue
+            assert out[y, x, 0] == img[ys[y], xs[x], 0]
+    # already a multiple: unchanged (the upstream-bug-avoidance branch)
+    sq = np.ones((8, 16, 1))
+    assert swin2sr_pad(sq, 8).shape == (8, 16, 1)
+
+
+def test_donut_pad_center_with_normalized_zero_constant():
+    # processors.rb:393-420: center pad, constant = -mean/std per channel
+    # (pad runs after normalize, so the constant is what python's
+    # pad-with-0-then-normalize produces)
+    from informers_spark.functions.vision import donut_pad
+
+    img = np.full((2, 2, 2), 5.0)
+    out = donut_pad(img, 4, 4, image_mean=[0.5, 0.25], image_std=[0.25, 0.5])
+    assert out.shape == (4, 4, 2)
+    # centered at floor((4-2)/2) = 1
+    assert (out[1:3, 1:3] == 5.0).all()
+    assert out[0, 0, 0] == -0.5 / 0.25 and out[0, 0, 1] == -0.25 / 0.5
+    # scalar mean/std broadcast across channels
+    out2 = donut_pad(img, 4, 4, image_mean=0.5, image_std=0.25)
+    assert out2[3, 3, 0] == out2[3, 3, 1] == -2.0
+
+
+def test_detr_pixel_mask_all_ones():
+    # processors.rb:422-444: always [B, 64, 64] of 1s (variable sizes
+    # TODO'd out upstream, transcribed faithfully)
+    from informers_spark.functions.vision import detr_pixel_mask
+
+    m = detr_pixel_mask(3)
+    assert m.shape == (3, 64, 64) and (m == 1).all() and m.dtype == np.int64
+
+
+def test_pad_preset_for_model_type():
+    from informers_spark.backend.model_config import pad_preset_for_model_type
+
+    assert pad_preset_for_model_type("swin2sr") == "swin2sr"
+    assert pad_preset_for_model_type("donut-swin") == "donut"
+    assert pad_preset_for_model_type("table-transformer") == "detr"
+    assert pad_preset_for_model_type("vit") is None
+    assert pad_preset_for_model_type(None) is None
+
+
+def test_preprocess_image_pad_preset_dispatch():
+    from informers_spark.functions.vision import preprocess_image
+
+    img = (np.ones((5, 6, 1)) * 128).astype(np.uint8)
+    base = dict(
+        do_resize=False, do_center_crop=False, do_rescale=False,
+        do_normalize=False, do_pad=True,
+    )
+    out = preprocess_image(img, {**base, "pad_size": 8, "pad_preset": "swin2sr"})
+    assert out["pixel_values"].shape == (1, 8, 8)
+    out = preprocess_image(
+        img,
+        {**base, "pad_size": {"width": 8, "height": 8}, "pad_preset": "donut",
+         "image_mean": 0.5, "image_std": 0.25},
+    )
+    assert out["pixel_values"].shape == (1, 8, 8)
+    assert out["pixel_values"][0, 0, 0] == -2.0  # -mean/std fill
