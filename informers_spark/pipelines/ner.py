@@ -62,29 +62,43 @@ def ner(
             if len(pdf):
                 texts = pdf[text_col].fillna("").astype(str).tolist()
                 logits_list, offsets_list, id2label = be.token_classify(texts)
+                # vectorized pre-pass: the ignored-label drop
+                # (pipelines.rb:122-125) removes the vast majority of
+                # tokens ('O' on a typical corpus), so argmax + keep-mask
+                # run in numpy and the Python loop below touches ONLY the
+                # surviving entity tokens. softmax is row-independent, so
+                # computing it on the kept subset is bit-identical to
+                # slicing a full-batch softmax (fixture-pinned).
+                keep_label = np.array(
+                    [lab not in ignore_labels for lab in id2label], dtype=bool
+                )
                 for row_i in range(len(pdf)):
                     logits = logits_list[row_i]
                     offsets = offsets_list[row_i]
                     if len(logits) == 0:
                         continue
-                    probs = softmax(logits, axis=-1)
                     arg = np.argmax(logits, axis=-1)
-                    ents = []
-                    for j, (word, s, e) in enumerate(offsets):
-                        label = id2label[int(arg[j])]
-                        # drop ignored labels (pipelines.rb:122-125) and
-                        # empty/special words (pipelines.rb:128-132)
-                        if label in ignore_labels or not word.strip():
-                            continue
-                        ents.append(
-                            {
-                                "entity": label,
-                                "score": float(probs[j, arg[j]]),
-                                "word": word,
-                                "start": int(s),
-                                "end": int(e),
-                            }
-                        )
+                    kept = np.nonzero(keep_label[arg])[0]
+                    if len(kept) == 0:
+                        ents = []
+                    else:
+                        probs_kept = softmax(logits[kept], axis=-1)
+                        scores = probs_kept[np.arange(len(kept)), arg[kept]]
+                        ents = []
+                        for k, j in enumerate(kept):
+                            word, s, e = offsets[j]
+                            # empty/special-word drop (pipelines.rb:128-132)
+                            if not word.strip():
+                                continue
+                            ents.append(
+                                {
+                                    "entity": id2label[int(arg[j])],
+                                    "score": float(scores[k]),
+                                    "word": word,
+                                    "start": int(s),
+                                    "end": int(e),
+                                }
+                            )
                     if aggregation_strategy == "simple":
                         groups = group_entities(ents)
                     else:  # "none": token-level records

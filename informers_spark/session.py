@@ -50,6 +50,13 @@ def get_spark(
         # group, so big row groups silently cap downstream parallelism
         # (measured: UDF stages ran 4-6 of 16 workers with 128m groups)
         .config("spark.hadoop.parquet.block.size", str(16 * 1024 * 1024))
+        # zstd parquet: ~1.7x fewer stored bytes than snappy on the text
+        # corpus, and the byte volume through the (shared) storage path is
+        # what caps scaling on this box — measured n=2M/8-core KG build
+        # 183s (snappy) -> 112s (zstd): files stage 54->17s, triples_raw
+        # 35->10.5s. Decode cost rises slightly but is per-core and
+        # scales; shuffle stays lz4 (zstd shuffle measured neutral: 117s)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
