@@ -143,7 +143,13 @@ def build_kg(
             )
         )
 
-    triples_raw = stage("triples_raw", make_raw)
+    # rebalance=False: this stage ENDS in a shuffle aggregate, so AQE's
+    # coalescing already sizes the output partitions to the advisory
+    # target — the REBALANCE hint only appends a second exchange after
+    # the agg (measured 2x the stage wall at n=4M: 32.1s -> 16.9s).
+    # The hint earns its cost only on map-only stages, where without it
+    # every scan task writes its own file.
+    triples_raw = stage("triples_raw", make_raw, rebalance=False)
 
     # 5. entity linking over distinct mention surfaces — SAME typed-group
     # filter as the mention triples in stage 4: linking (and embedding)
@@ -157,7 +163,8 @@ def build_kg(
         )
         return link_entities(surfaces, threshold=link_threshold, backend=backend)
 
-    same_as = stage("same_as", make_same_as)
+    # same_as ends in a window over a shuffle — AQE-sized; skip rebalance
+    same_as = stage("same_as", make_same_as, rebalance=False)
 
     # 6. canonicalization (convergence surfaces in stage metrics; a
     # non-converged run raises inside the operator rather than emitting
@@ -213,14 +220,18 @@ def build_kg(
 
     errors: list[BaseException] = []
 
-    def run_stage(name, make, partition_by=None):
+    def run_stage(name, make, partition_by=None, rebalance=True):
         try:
-            stage(name, make, partition_by=partition_by)
+            stage(name, make, partition_by=partition_by, rebalance=rebalance)
         except BaseException as e:  # surface thread failures to the caller
             errors.append(e)
 
     threads = [
-        threading.Thread(target=run_stage, args=("nodes", make_nodes)),
+        # nodes ends in a shuffle (distinct) — AQE sizing applies, skip
+        # the redundant rebalance exchange (same reasoning as triples_raw)
+        threading.Thread(
+            target=run_stage, args=("nodes", make_nodes), kwargs={"rebalance": False}
+        ),
         threading.Thread(target=run_stage, args=("edges", make_edges, ["pred"])),
     ]
     for t in threads:
