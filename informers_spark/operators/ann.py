@@ -176,3 +176,83 @@ def centroids(
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"))
     )
+
+
+def _literal_vec(values) -> Column:
+    return F.array(*[F.lit(float(x)).cast("double") for x in values])
+
+
+def ivf_probe(
+    vec: Column, centroid_rows: list[tuple[int, list[float]]], nprobe: int = 1
+) -> Column:
+    """Top-nprobe coarse-quantizer cells for a vector, computed as INLINE
+    array expressions over literal centroids — no join, no shuffle: the
+    IVF assignment is a pure projection over the scan, which is what
+    keeps index build map-only at corpus scale (centroids are tiny and
+    ship inside the plan like a broadcast). Ties break to the smaller
+    cell label (struct sort on (cos DESC, -label DESC)).
+    → array<int> of cell labels, best first."""
+    entries = [
+        F.struct(
+            cosine(vec, _literal_vec(cv)).alias("cos"),
+            F.lit(-int(lbl)).cast("int").alias("neg"),
+        )
+        for lbl, cv in centroid_rows
+    ]
+    top = F.slice(F.sort_array(F.array(*entries), asc=False), 1, nprobe)
+    return F.transform(top, lambda s: -s["neg"])
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat approximate top-k (the brief's named scale-path variant
+    next to banded LSH): corpus vectors live in ONE cell each (nearest
+    centroid); each query probes its nprobe nearest cells and scores
+    only those cells' members. Candidate generation is an equi-join on
+    the cell id — never a cross join — with the query side broadcast;
+    a (query, corpus) pair can collide in at most one cell, so no
+    distinct is needed before scoring. centroid_rows is the trained
+    coarse quantizer [(cell_label, centroid_vec)]; here the per-label
+    means (ann.centroids) stand in deterministically — at real scale
+    swap in sampled-kmeans centroids, the plan is identical.
+    → (query_id, neighbor_id, rank, cos_sim)."""
+    cents = sorted(centroid_rows)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cell", ivf_probe(F.col("cv"), cents, 1)[0])
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("cell", F.explode(ivf_probe(F.col("qv"), cents, nprobe)))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def centroid_rows_from_labels(df: DataFrame) -> list[tuple[int, list[float]]]:
+    """Collect the per-label mean centroids (ann.centroids) into the
+    [(label, vec)] quantizer shape — a K×dim driver-side list (tiny by
+    construction; K = coarse-cell count, not corpus size)."""
+    rows = (
+        centroids(df)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_val"))).alias("dv"))
+        .select("label", F.col("dv.mean_val").alias("vec"))
+        .collect()
+    )
+    return sorted((int(r.label), list(r.vec)) for r in rows)

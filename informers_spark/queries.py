@@ -849,6 +849,64 @@ ORDER BY a, b
 """
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF-flat approximate top-k (ann.knn_ivf): per-label mean centroids
+    as the deterministic coarse quantizer, map-only cell assignment
+    (inline literal-centroid cosines, no shuffle), nprobe=2 probing,
+    cell equi-join with the query side broadcast. Recall vs bruteforce
+    is asserted in tests/test_operators.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ann.centroid_rows_from_labels(emb)
+    return ann.knn_ivf(
+        emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=2
+    ).orderBy("query_id", "rank")
+
+
+def _knn_ivf_sql(nprobe: int = 2, k: int = 5) -> str:
+    cos_ec = f'{_DUCK_DOT.format(A="e.embedding", B="c.cv")} / ({_DUCK_NORM.format(A="e.embedding")} * {_DUCK_NORM.format(A="c.cv")})'
+    cos_qn = f'{_DUCK_DOT.format(A="eq.embedding", B="ec.embedding")} / ({_DUCK_NORM.format(A="eq.embedding")} * {_DUCK_NORM.format(A="ec.embedding")})'
+    return f"""
+WITH cm AS (
+  SELECT label, dim, ROUND(AVG(val), 6) AS mean_val
+  FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding)::DOUBLE AS val FROM embeddings)
+  GROUP BY label, dim
+),
+cent AS (SELECT label AS clabel, list(mean_val ORDER BY dim) AS cv FROM cm GROUP BY label),
+corpus_cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.clabel AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.clabel ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1
+),
+query_cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.clabel AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.clabel ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10)
+  WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT q.vec_id AS query_id, co.vec_id AS neighbor_id
+  FROM query_cells q JOIN corpus_cells co USING (cell)
+  WHERE q.vec_id <> co.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {cos_qn} AS cs
+  FROM cand JOIN embeddings eq ON eq.vec_id = query_id
+            JOIN embeddings ec ON ec.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INT AS rank, ROUND(cs, 6) AS cos_sim
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def q_knn_lsh(spark, sf_dir):
     """Approximate top-k via banded LSH candidate generation (equi-join on
     (band, bucket), OR-amplified over 4 tables) — the scale path whose
@@ -1501,6 +1559,7 @@ QUERIES = {
     "q_doc_qa": q_doc_qa,
     # -- new in r03 --
     "q_generate_penalized": q_generate_penalized,
+    "q_knn_ivf": q_knn_ivf,
     # -- verified once (r02 only) --
     "q_classify_topk": q_classify_topk,
     "q_generate_docs": q_generate_docs,
@@ -1584,6 +1643,7 @@ ORACLE_SQL = {
     "q_jaccard_sample": _jaccard_sample_sql(),
     "q_knn_bruteforce": Q_KNN_SQL,
     "q_knn_lsh": _knn_lsh_sql(),
+    "q_knn_ivf": _knn_ivf_sql(),
     "q_lsh_buckets": _lsh_buckets_sql(),
     "q_centroids": Q_CENTROIDS_SQL,
     "q_embedding_neardup": _embedding_neardup_sql(),

@@ -241,3 +241,41 @@ def test_asof_join_map_payload_does_not_crash(spark):
     )
     out = asof_join(left, right, on="ts", by="key", right_cols=["attrs"]).collect()[0]
     assert out.attrs_r == {"a": "1"}
+
+
+def test_knn_ivf_recall_and_probe_monotonicity(spark):
+    """IVF-flat recall vs bruteforce must be usable and must RISE with
+    nprobe (probing more cells can only add candidates). With nprobe=K
+    (all cells probed) IVF degenerates to exact bruteforce."""
+    from pyspark.sql import functions as F
+
+    from informers_spark.operators import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = ann.centroid_rows_from_labels(emb)
+    bf = {(r.query_id, r.neighbor_id) for r in ann.knn_bruteforce(emb, q, k=5).collect()}
+
+    def recall(nprobe):
+        got = {
+            (row.query_id, row.neighbor_id)
+            for row in ann.knn_ivf(emb, q, cents, k=5, nprobe=nprobe).collect()
+        }
+        return len(bf & got) / len(bf)
+
+    r1, r2, rall = recall(1), recall(2), recall(len(cents))
+    assert r1 <= r2 <= rall
+    assert r2 >= 0.3  # near-random sandbox vectors: cells are weak but real
+    assert rall == 1.0  # probing every cell == exact
+
+
+def test_ivf_probe_tie_breaks_to_smaller_label(spark):
+    from pyspark.sql import functions as F
+
+    from informers_spark.operators import ann
+
+    # two identical centroids -> equal cosines; the smaller label wins
+    cents = [(3, [1.0] * 4), (7, [1.0] * 4)]
+    df = spark.createDataFrame([([1.0, 1.0, 1.0, 1.0],)], ["v"])
+    row = df.select(ann.ivf_probe(F.col("v"), cents, 2).alias("p")).collect()[0]
+    assert row.p == [3, 7]

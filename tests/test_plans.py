@@ -131,3 +131,17 @@ def test_vision_query_prunes_scan_and_avoids_exchange(spark):
     # classify mapInPandas pair (the orderBy's Exchange sits above them)
     seg = _scan_to_udf(plan)
     assert "Scan parquet" in seg and "Exchange" not in seg
+
+
+def test_knn_ivf_assignment_is_map_only_and_broadcasts_queries(spark):
+    # IVF cell assignment must be a pure projection over the corpus scan
+    # (inline literal centroids — no join/exchange between scan and the
+    # cell equi-join), and the probe side must broadcast
+    from informers_spark.queries import q_knn_ivf
+
+    plan = _plan(q_knn_ivf(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # exactly the joins we expect: cell equi-join (broadcast); no
+    # shuffle join anywhere in candidate generation
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
