@@ -305,6 +305,30 @@ class HashBackend:
     # the T5-style convention the reference's seq2seq path assumes
     GEN_VOCAB = sorted(_PER | _ORG | _LOC | _POSITIVE | _NEGATIVE | {"language", "capital", "code"}) + ["</s>"]
 
+    # --- offline tokenizer-surface parity (reference tokenizers.rb:121-139):
+    # ids index GEN_VOCAB; decode joins words, skipping EOS when asked —
+    # so the OnnxBackend tokenizer-conversion API has a working offline twin
+    def id_to_token(self, tid: int) -> str | None:
+        return self.GEN_VOCAB[tid] if 0 <= tid < len(self.GEN_VOCAB) else None
+
+    def convert_tokens_to_ids(self, tokens: list[str]) -> list[int | None]:
+        idx = {t: i for i, t in enumerate(self.GEN_VOCAB)}
+        return [idx.get(t) for t in tokens]
+
+    def convert_ids_to_tokens(self, ids: list[int]) -> list[str | None]:
+        return [self.id_to_token(i) for i in ids]
+
+    def decode(self, ids: list[int], skip_special_tokens: bool = True) -> str:
+        toks = [self.GEN_VOCAB[i] for i in ids if 0 <= i < len(self.GEN_VOCAB)]
+        if skip_special_tokens:
+            toks = [t for t in toks if t != "</s>"]
+        from informers_spark.functions.kernels import join_wordpiece
+
+        return join_wordpiece(toks)
+
+    def batch_decode(self, ids_batch, skip_special_tokens: bool = True) -> list[str]:
+        return [self.decode(list(ids), skip_special_tokens) for ids in ids_batch]
+
     def next_logits(self, contexts: list[str], generated: list[list[str]]):
         """One greedy-decode step for the whole batch: next-token logits =
         cosine of each vocab vector against the mean of (context tokens +

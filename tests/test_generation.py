@@ -298,3 +298,48 @@ def test_generate_batch_equals_row_at_a_time(spark):
         solo_df = spark.createDataFrame([(rid, text)], ["id", "text"])
         solo = generate_text(solo_df, **kwargs).collect()[0].generated_text
         assert solo == batched[rid], f"row {rid} diverges batched vs solo"
+
+
+def test_multinomial_sample_seeded_and_distribution():
+    from informers_spark.functions.generation import multinomial_sample
+
+    logits = np.array([0.0, 5.0, 1.0, -2.0])
+    rng = np.random.default_rng(42)
+    out = multinomial_sample(logits, num_beams=3, top_k=4, rng=rng)
+    # seeded -> reproducible
+    rng2 = np.random.default_rng(42)
+    assert out == multinomial_sample(logits, num_beams=3, top_k=4, rng=rng2)
+    # every pick carries log p of ITS token; token 1 dominates the mass
+    for tok, logp in out:
+        assert 0 <= tok < 4 and logp <= 0.0
+    picks = [
+        t
+        for _ in range(50)
+        for t, _ in multinomial_sample(logits, 1, 4, np.random.default_rng(_))
+    ]
+    assert picks.count(1) > 35  # softmax(5) ~ 0.95 of the mass
+    # top_k=1 degenerates to greedy
+    assert multinomial_sample(logits, 1, 1, np.random.default_rng(0))[0][0] == 1
+
+
+def test_begin_suppress_tokens_raises_like_upstream_todo():
+    with pytest.raises(NotImplementedError, match="models.rb:395-397"):
+        build_processors(eos_token_id=5, begin_suppress_tokens=[0, 1])
+
+
+def test_hash_backend_decode_roundtrip():
+    from informers_spark.backend.hash_backend import HashBackend
+
+    be = HashBackend()
+    vocab = be.GEN_VOCAB
+    ids = be.convert_tokens_to_ids([vocab[0], vocab[3], "</s>"])
+    assert ids[:2] == [0, 3] and ids[2] == len(vocab) - 1
+    assert be.id_to_token(0) == vocab[0] and be.id_to_token(9999) is None
+    assert be.convert_tokens_to_ids(["not-in-vocab"]) == [None]
+    # decode skips EOS by default, keeps it when asked
+    assert be.decode(ids) == f"{vocab[0]} {vocab[3]}"
+    assert be.decode(ids, skip_special_tokens=False).endswith("</s>")
+    assert be.batch_decode([ids, ids[:1]]) == [
+        f"{vocab[0]} {vocab[3]}",
+        vocab[0],
+    ]
