@@ -82,6 +82,7 @@ class OnnxBackend:
             self.id2label = parsed["id2label"]
             self.label2id = parsed["label2id"]
         self._decode_cache: dict[int, str] = {}
+        self._decode_skip_cache: dict[int, str] = {}
         # decoder-capable checkpoints ship a merged decoder session next
         # to the encoder (optimum layout); load it when staged so the
         # generate loop can run the KV-cache path (reference constructors
@@ -162,6 +163,17 @@ class OnnxBackend:
         outs, mask = self._run(enc)
         return outs[0].astype(np.float32), mask
 
+    def _id_to_str_skip(self, tid: int) -> str:
+        """Cached single-token decode WITH skip_special_tokens — special
+        tokens decode to "" so the NER pipeline's empty-word drop removes
+        them, exactly the reference's per-token decode
+        (pipelines.rb:127-132)."""
+        s = self._decode_skip_cache.get(tid)
+        if s is None:
+            s = self.tokenizer.decode([tid], skip_special_tokens=True)
+            self._decode_skip_cache[tid] = s
+        return s
+
     def token_classify(self, texts: list[str]):
         enc = self.tokenizer.encode_batch(texts)
         outs, _ = self._run(enc)
@@ -170,8 +182,11 @@ class OnnxBackend:
         for i, e in enumerate(enc):
             n = sum(e.attention_mask)
             logits.append(outs[0][i, :n].astype(np.float32))
+            # skip-special decode: [CLS]/[SEP] become "" and fall to the
+            # pipeline's empty-word drop, but their positions still
+            # consume an index j — the reference's index semantics
             offsets.append(
-                [(self._id_to_str(tid), s, t)
+                [(self._id_to_str_skip(tid), s, t)
                  for tid, (s, t) in zip(e.ids[:n], e.offsets[:n])]
             )
         return logits, offsets, id2label

@@ -30,6 +30,12 @@ MENTION_FIELDS = [
     T.StructField("end", T.IntegerType()),
 ]
 
+# aggregation_strategy="none" token records additionally carry the raw
+# token index in the model's tokenization (reference token record
+# `index: j`, pipelines.rb:136-143 — the value its own test pins at 8
+# for "Mat", test/pipeline_test.rb:16-25)
+TOKEN_INDEX_FIELD = T.StructField("index", T.IntegerType())
+
 
 def ner(
     df: DataFrame,
@@ -45,7 +51,10 @@ def ner(
     texts with no mentions produce no rows (explode semantics).
     """
     opts = backend_opts or {}
-    schema = T.StructType(list(df.schema.fields) + MENTION_FIELDS)
+    fields = list(MENTION_FIELDS)
+    if aggregation_strategy == "none":
+        fields = fields + [TOKEN_INDEX_FIELD]
+    schema = T.StructType(list(df.schema.fields) + fields)
     in_cols = [f.name for f in df.schema.fields]
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -53,6 +62,8 @@ def ner(
 
         be = get_backend(backend, **opts)
         mention_cols = ["entity_group", "word", "score", "start", "end"]
+        if aggregation_strategy == "none":
+            mention_cols = mention_cols + ["index"]
         for pdf in batches:
             # columnar assembly: source row index + one list per mention
             # column, then a single .take() to replicate input rows —
@@ -97,11 +108,14 @@ def ner(
                                     "word": word,
                                     "start": int(s),
                                     "end": int(e),
+                                    "index": int(j),
                                 }
                             )
                     if aggregation_strategy == "simple":
                         groups = group_entities(ents)
-                    else:  # "none": token-level records
+                    else:  # "none": token-level records (entity_group
+                        # column carries the reference record's `entity`
+                        # label, B-/I- prefix intact)
                         groups = [
                             {
                                 "entity_group": e["entity"],
@@ -109,22 +123,22 @@ def ner(
                                 "word": e["word"],
                                 "start": e["start"],
                                 "end": e["end"],
+                                "index": e["index"],
                             }
                             for e in ents
                         ]
                     for g in groups:
                         src_idx.append(row_i)
-                        m_out["entity_group"].append(g["entity_group"])
-                        m_out["word"].append(g["word"])
-                        m_out["score"].append(g["score"])
-                        m_out["start"].append(g["start"])
-                        m_out["end"].append(g["end"])
+                        for c in mention_cols:
+                            m_out[c].append(g[c])
             out = pdf.take(src_idx)[in_cols].reset_index(drop=True)
             out["entity_group"] = pd.Series(m_out["entity_group"], dtype=object)
             out["word"] = pd.Series(m_out["word"], dtype=object)
             out["score"] = np.asarray(m_out["score"], dtype=np.float32)
             out["start"] = np.asarray(m_out["start"], dtype=np.int32)
             out["end"] = np.asarray(m_out["end"], dtype=np.int32)
+            if "index" in mention_cols:
+                out["index"] = np.asarray(m_out["index"], dtype=np.int32)
             yield out
 
     return df.mapInPandas(infer, schema=schema)

@@ -169,3 +169,24 @@ def test_golden_reranking(spark):
     }
     assert abs(rows[0] - 0.984) < 0.001
     assert abs(rows[1] - 0.139) < 0.001
+
+
+def test_golden_ner_aggregation_none(spark):
+    # pipeline_test.rb:15-25: aggregation_strategy "none" -> 2 token
+    # records; first is B-PER "Mat" index 8 [42,45) ≈0.996
+    from informers_spark.api import pipeline
+
+    model = _stage_or_skip("Xenova/bert-base-multilingual-cased-ner-hrl")
+    rows = pipeline(
+        "ner",
+        backend="onnx",
+        backend_opts={"model_dir": model},
+        aggregation_strategy="none",
+    )(_one_text_df(spark, "Ruby is a programming language created by Matz")).collect()
+    assert len(rows) == 2
+    r = sorted(rows, key=lambda x: x["index"])[0]  # Row.index is a method; subscript for the column
+    assert r.entity_group == "B-PER"
+    assert r.word == "Mat"
+    assert r["index"] == 8
+    assert r.start == 42 and r.end == 45
+    assert abs(r.score - 0.996) < 0.001

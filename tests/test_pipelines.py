@@ -81,3 +81,21 @@ def test_rerank_orders_by_overlap(spark):
     assert out[0].text == docs[0]
     assert out[0].rank == 1 and out[1].rank == 2
     assert out[0].score > out[1].score
+
+
+def test_ner_aggregation_none_emits_token_index(spark):
+    # "none" mode carries the raw token index j (reference record
+    # pipelines.rb:136-143); "simple" mode schema is unchanged
+    from informers_spark.pipelines.ner import ner
+
+    df = spark.createDataFrame([(0, "Matz created Ruby for GitHub")], ["id", "text"])
+    none_rows = ner(df, backend="hash", aggregation_strategy="none").collect()
+    assert none_rows, "expected token records"
+    assert "index" in none_rows[0].asDict()
+    # indices are positions in the token stream: strictly increasing
+    idxs = [r["index"] for r in none_rows]
+    assert idxs == sorted(idxs) and len(set(idxs)) == len(idxs)
+    # word-level hash tokenizer: "Matz" is token 0
+    assert none_rows[0]["index"] == 0 and none_rows[0].entity_group.startswith("B-")
+    simple_rows = ner(df, backend="hash").collect()
+    assert "index" not in simple_rows[0].asDict()
