@@ -98,22 +98,29 @@ def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
 
 def simhash(col: Column, bits: int = 31) -> Column:
     """SimHash over whitespace tokens: bit b set iff the sum over tokens of
-    (+1 if bit b of fp(token) else -1) is positive. 31 bits (portable)."""
+    (+1 if bit b of fp(token) else -1) is positive. 31 bits (portable).
+
+    Single-pass formulation: one aggregate accumulates ALL per-bit
+    set-counts as an array<long> (votes_b = 2*count_b - n, so bit b is
+    set iff 2*count_b > n). The previous 31-separate-aggregates form
+    made Catalyst re-evaluate the token-fingerprint transform once PER
+    BIT — 31 hashing passes over every document (measured: the fold was
+    ~4 s of the sf0.1 near-dup query on its own)."""
     fps = F.transform(tokens(col), lambda t: _fp_str(t))
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
 
-    def vote(b: int):
-        return lambda acc, x: acc + F.when(F.shiftright(x, b) % 2 == 1, 1).otherwise(-1)
+    def bit_votes(x: Column) -> Column:
+        return F.array(
+            *[F.shiftright(x, b).bitwiseAND(F.lit(1)).cast("long") for b in range(bits)]
+        )
 
-    bit_vals = [
-        F.when(
-            F.aggregate(fps, F.lit(0).cast("long"), vote(b)) > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for b in range(bits)
-    ]
+    counts = F.aggregate(fps, zeros, lambda acc, x: F.zip_with(acc, bit_votes(x), lambda a, v: a + v))
+    n = F.size(fps).cast("long")
     out = F.lit(0).cast("long")
-    for b, v in enumerate(bit_vals):
-        out = out + v * F.lit(2**b).cast("long")
+    for b in range(bits):
+        out = out + F.when(
+            F.element_at(counts, b + 1) * 2 > n, F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return out
 
 

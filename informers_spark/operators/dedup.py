@@ -175,15 +175,32 @@ def simhash_neardup(
     b = blocks.withColumn(
         "_s", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salt)]))
     )
+    # first-matching-band dedup: a pair that collides in k bands would be
+    # enumerated k times; instead of a distinct() (a full shuffle of the
+    # pair set), emit the pair ONLY in its smallest matching band — both
+    # fingerprints are in hand post-join, so "no earlier band matches"
+    # is a pure bit-arithmetic filter. Exactly-once per pair, no shuffle.
+    def slice_eq(col_a, col_b, i):
+        mask = F.lit((1 << width) - 1)
+        return (
+            F.shiftright(col_a, i * width).bitwiseAND(mask)
+            == F.shiftright(col_b, i * width).bitwiseAND(mask)
+        )
+
+    no_earlier = F.lit(True)
+    for i in range(bands - 1):
+        no_earlier = no_earlier & (
+            (F.col("band") <= F.lit(i)) | ~slice_eq(F.col("a.sh"), F.col("b.sh"), i)
+        )
     return (
         a.alias("a").join(b.alias("b"), ["band", "key", "_s"])
         .filter(F.col("a.id") < F.col("b.id"))
+        .filter(no_earlier)
         .select(
             F.col("a.id").alias("a"), F.col("b.id").alias("b"),
             hamming_distance(F.col("a.sh"), F.col("b.sh"), bits).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
