@@ -47,6 +47,9 @@ HEADLINE = [
     "q_ner_docs",
     "q_image_classify_all",
     "q_audio_classify",
+    # new in r3
+    "q_knn_ivf",
+    "q_generate_penalized",
 ]
 
 
