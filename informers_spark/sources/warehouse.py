@@ -124,6 +124,57 @@ class Warehouse:
             json.dump(manifest, fh, indent=2)
         return manifest
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_cols: list[str],
+        n_buckets: int = 16,
+        sort_cols: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> dict:
+        """Bucketed external table (the parquet analog of SURVEY §1.2's
+        Iceberg `bucket(N, repo)` spec): rows hash-partitioned into
+        n_buckets files by bucket_cols, optionally sorted within each
+        bucket. Two tables bucketed on the SAME keys with the SAME count
+        join with NO exchange on either side (asserted in
+        tests/test_plans.py) — the co-located-join layout that removes
+        the shuffle from every downstream join on those keys at 100 TB.
+        Bucket metadata lives in the session catalog (saveAsTable), so
+        reads must go through read_table(), not the path."""
+        t0 = time.time()
+        # one file per bucket: pre-shuffle by the bucket keys so each
+        # writer task holds whole buckets (otherwise tasks x buckets files)
+        w = (
+            df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+            .write.mode(mode)
+            .format("parquet")
+            .option("path", self._path(name))
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.saveAsTable(name)
+        n = self.spark.table(name).count()
+        manifest = {
+            "table": name,
+            "rows": n,
+            "bucket_by": bucket_cols,
+            "n_buckets": n_buckets,
+            "sort_by": sort_cols or [],
+            "schema": df.schema.simpleString(),
+            "wall_sec": round(time.time() - t0, 3),
+            "written_at": time.time(),
+        }
+        with open(self._path(f"{name}._manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        return manifest
+
+    def read_table(self, name: str) -> DataFrame:
+        """Catalog read for bucketed tables (bucket metadata does not
+        survive a bare path read)."""
+        return self.spark.table(name)
+
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.read.table(f"{self.catalog}.{name}")
