@@ -29,7 +29,9 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
         dot_i = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[F.lit(x).cast("double") for x in w[i]]),
+                # one list-literal py4j call per plane, not one per weight
+                # (plan construction cost, see _literal_vec)
+                F.lit([float(x) for x in w[i]]),
                 lambda v, p: v.cast("double") * p,
             ),
             F.lit(0.0),
@@ -84,7 +86,7 @@ def banded_buckets(
             dot_i = F.aggregate(
                 F.zip_with(
                     vec,
-                    F.array(*[F.lit(x).cast("double") for x in w[g]]),
+                    F.lit([float(x) for x in w[g]]),
                     lambda v, p: v.cast("double") * p,
                 ),
                 F.lit(0.0),
