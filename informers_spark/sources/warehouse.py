@@ -111,13 +111,16 @@ class Warehouse:
         # on OTHER tenants' dirty pages in this shared sandbox (measured
         # random 5-200s stage stalls); writeback interference is the
         # lesser evil
+        wall = round(time.time() - t0, 3)
         manifest = {
             "table": name,
             "rows": n,
             "partition_by": partition_by or [],
             "schema": df.schema.simpleString(),
             "sha256_range": sha_range,
-            "wall_sec": round(time.time() - t0, 3),
+            "wall_sec": wall,
+            # per-stage throughput (north-rule lineage + metrics contract)
+            "rows_per_sec": round(n / wall, 1) if wall > 0 else None,
             "written_at": time.time(),
         }
         with open(self._path(f"{name}._manifest.json"), "w") as fh:
