@@ -250,3 +250,30 @@ def embedding_neardup(
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 2,
+    **neardup_kwargs,
+) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL — the composed training-data
+    operator: simhash_neardup pairs → connected components over the pair
+    graph → keep exactly one representative (the min id) per duplicate
+    cluster, drop the rest. → the deduplicated corpus (all original
+    columns). Every stage is the already-skew-guarded operator: banded
+    blocking, salted self-join, size-tiered components; the final drop
+    is a left_anti join on ids only (the corpus content never reshuffles)."""
+    from informers_spark.operators.canon import connected_components
+
+    pairs = simhash_neardup(
+        df, text_col=text_col, id_col=id_col, max_hamming=max_hamming, **neardup_kwargs
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

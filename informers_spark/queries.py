@@ -651,7 +651,9 @@ def q_simhash_neardup(spark, sf_dir):
     return dedup.simhash_neardup(docs, max_hamming=2).orderBy("a", "b")
 
 
-def _simhash_neardup_sql() -> str:
+def _simhash_pairs_ctes(max_hamming: int = 2) -> str:
+    """Shared CTE body: sh / blocks / prs (the verified near-dup pairs) —
+    consumed by both _simhash_neardup_sql and _dedup_corpus_sql."""
     tok_fps = f"list_transform({_DUCK_TOKENS}, s -> {_DUCK_FP.format(S='s')})"
     bits_expr = " + ".join(
         f"CASE WHEN list_sum(list_transform(fps, x -> CASE WHEN ((x >> {b}) % 2) = 1 THEN 1 ELSE -1 END)) > 0 "
@@ -663,17 +665,52 @@ def _simhash_neardup_sql() -> str:
         f"SELECT id, sh, {i} AS band, (sh >> {i * width}) & {(1 << width) - 1} AS key FROM sh"
         for i in range(4)
     )
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT doc_id AS id, ({bits_expr}) AS sh
   FROM (SELECT doc_id, {tok_fps} AS fps FROM documents)
 ),
 blocks AS (SELECT * FROM ({bands}) QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 10000),
-pairs AS (
-  SELECT DISTINCT a.id AS a, b.id AS b, bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
-  FROM blocks a JOIN blocks b ON a.band = b.band AND a.key = b.key AND a.id < b.id
-)
-SELECT a, b, hamming FROM pairs WHERE hamming <= 2 ORDER BY a, b
+prs AS (
+  SELECT a, b, hamming FROM (
+    SELECT DISTINCT a.id AS a, b.id AS b, bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+    FROM blocks a JOIN blocks b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+  ) WHERE hamming <= {max_hamming}
+)"""
+
+
+def _simhash_neardup_sql() -> str:
+    return f"""
+WITH {_simhash_pairs_ctes(2)}
+SELECT a, b, hamming FROM prs ORDER BY a, b
+"""
+
+
+def q_dedup_corpus(spark, sf_dir):
+    """End-to-end near-dup removal (operators/dedup.py:dedup_corpus):
+    simhash pairs → connected components → keep min id per cluster.
+    Returns the surviving doc ids; the DuckDB oracle recomputes the same
+    pair graph and min-label components with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.dedup_corpus(docs, max_hamming=2)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_corpus_sql() -> str:
+    return f"""
+WITH RECURSIVE {_simhash_pairs_ctes(2)},
+edges AS (SELECT a AS u, b AS v FROM prs UNION SELECT b, a FROM prs),
+reach AS (
+  SELECT u AS node, u AS comp FROM edges
+  UNION
+  SELECT e.v AS node, r.comp FROM edges e JOIN reach r ON r.node = e.u WHERE r.comp < e.v
+),
+comp AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+ORDER BY doc_id
 """
 
 
@@ -1560,6 +1597,7 @@ QUERIES = {
     # -- new in r03 --
     "q_generate_penalized": q_generate_penalized,
     "q_knn_ivf": q_knn_ivf,
+    "q_dedup_corpus": q_dedup_corpus,
     # -- verified once (r02 only) --
     "q_classify_topk": q_classify_topk,
     "q_generate_docs": q_generate_docs,
@@ -1644,6 +1682,7 @@ ORACLE_SQL = {
     "q_knn_bruteforce": Q_KNN_SQL,
     "q_knn_lsh": _knn_lsh_sql(),
     "q_knn_ivf": _knn_ivf_sql(),
+    "q_dedup_corpus": _dedup_corpus_sql(),
     "q_lsh_buckets": _lsh_buckets_sql(),
     "q_centroids": Q_CENTROIDS_SQL,
     "q_embedding_neardup": _embedding_neardup_sql(),

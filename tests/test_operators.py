@@ -279,3 +279,38 @@ def test_ivf_probe_tie_breaks_to_smaller_label(spark):
     df = spark.createDataFrame([([1.0, 1.0, 1.0, 1.0],)], ["v"])
     row = df.select(ann.ivf_probe(F.col("v"), cents, 2).alias("p")).collect()[0]
     assert row.p == [3, 7]
+
+
+def test_dedup_corpus_keeps_one_per_cluster(spark):
+    from pyspark.sql import functions as F
+
+    from informers_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = dedup.dedup_corpus(docs, max_hamming=2)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept_ids <= all_ids and kept_ids
+    # all original columns survive
+    assert kept.columns == docs.columns
+    pairs = {
+        (r.a, r.b)
+        for r in dedup.simhash_neardup(docs, max_hamming=2).collect()
+    }
+    # no two survivors are near-dups of each other (one rep per cluster)
+    assert not any(a in kept_ids and b in kept_ids for a, b in pairs)
+    # every cluster kept exactly its min id
+    import collections
+    parent = {i: i for i in all_ids}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    groups = collections.defaultdict(list)
+    for i in all_ids:
+        groups[find(i)].append(i)
+    expect = {min(g) for g in groups.values()}
+    assert kept_ids == expect
