@@ -108,22 +108,19 @@ def _banded_blocks(
     planes_per_band: int,
     max_bucket: int | None,
 ) -> DataFrame:
-    """(id, band, bucket) blocking table with the window-count skew guard:
+    """(id, band, bucket) blocking table with the two-phase skew guard:
     any (band, bucket) cell above max_bucket is dropped BEFORE any
     self-join touches it — a dense embedding region can never go quadratic
-    (the same guard minhash_pairs uses, dedup.py)."""
+    (the same groupBy-count → broadcast-anti-join guard minhash_pairs
+    uses; see dedup.drop_oversized_buckets for why not a window count)."""
+    from informers_spark.operators.dedup import drop_oversized_buckets
+
     blocks = df.select(
         F.col(id_col).alias(out_id),
         F.explode(banded_buckets(F.col(vec_col), bands, planes_per_band)).alias("bk"),
     ).select(out_id, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     if max_bucket:
-        blocks = (
-            blocks.withColumn(
-                "_bn", F.count("*").over(Window.partitionBy("band", "bucket"))
-            )
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
-        )
+        blocks = drop_oversized_buckets(blocks, ["band", "bucket"], max_bucket)
     return blocks
 
 

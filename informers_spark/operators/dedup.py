@@ -23,6 +23,32 @@ from informers_spark.functions.similarity import (
 from informers_spark.functions.text import fingerprint
 
 
+def drop_oversized_buckets(
+    blocks: DataFrame, key_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """Two-phase skew guard: drop every row of any key cell whose size
+    exceeds max_bucket BEFORE a self-join can go quadratic on it.
+
+    Phase 1 counts cells with groupBy — map-side partial aggregation
+    shrinks even a pathological hot cell (10^9 copies of one license
+    header at 100 TB) to one row per map task, so no single task ever
+    materializes the cell. Phase 2 broadcast-ANTI-joins the (tiny)
+    over-limit key set against the blocks table: a map-only filter.
+
+    This replaces the earlier `count(*) over (partition by key)` window
+    guard, which shuffled the entire hot cell into ONE window task just
+    to count-and-drop it — the exact concentration the guard exists to
+    prevent. Semantics are identical (cells > max_bucket vanish), so
+    the DuckDB QUALIFY oracles still match."""
+    over = (
+        blocks.groupBy(*key_cols)
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") > max_bucket)
+        .select(*key_cols)
+    )
+    return blocks.join(F.broadcast(over), key_cols, "left_anti")
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -83,15 +109,7 @@ def minhash_pairs(
         "id", F.explode(minhash_bands(F.col("sig"), bands, k // bands)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    # skew guard via window count: one shuffle on (band, key), reused by
-    # the self-join, instead of groupBy + re-join
-    banded = (
-        banded.withColumn(
-            "_bn", F.count("*").over(Window.partitionBy("band", "key"))
-        )
-        .filter(F.col("_bn") <= max_bucket)
-        .drop("_bn")
-    )
+    banded = drop_oversized_buckets(banded, ["band", "key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     id_pairs = (
         a.join(b, ["band", "key"])
@@ -144,6 +162,22 @@ def simhash_neardup(
     base = df.select(
         F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
     )
+    return simhash_pairs_from_hashes(
+        base, max_hamming=max_hamming, bits=bits, bands=bands, max_bucket=max_bucket
+    )
+
+
+def simhash_pairs_from_hashes(
+    base: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 31,
+    bands: int = 4,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Pair enumeration over an (id, sh) table — simhash_neardup minus the
+    fingerprint computation, factored out so tests can drive exact hash
+    values (the bucket-cap/first-band interaction below is unreachable at
+    fixture scale through real texts)."""
     width = (bits + bands - 1) // bands
     keys = F.array(
         *[
@@ -156,14 +190,20 @@ def simhash_neardup(
             for i in range(bands)
         ]
     )
-    blocks = (
-        base.select("id", "sh", F.explode(keys).alias("bk"))
-        .select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .withColumn("_bn", F.count("*").over(Window.partitionBy("band", "key")))
-        .filter(F.col("_bn") <= max_bucket)
-        .drop("_bn")
-        .localCheckpoint()  # the simhash fold feeds BOTH join sides
+    blocks = base.select("id", "sh", F.explode(keys).alias("bk")).select(
+        "id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    blocks = drop_oversized_buckets(blocks, ["band", "key"], max_bucket)
+    # retained-band bitmask per id: bit i set iff this id's band-i block
+    # SURVIVED the bucket cap. Needed by the first-matching-band filter
+    # below — without it, a pair whose earliest matching band was capped
+    # would be rejected in every surviving band too and silently lost
+    # (the guard's own skew scenario). One id-keyed window shuffle
+    # (high-cardinality uniform key); checkpointed since the blocks feed
+    # BOTH self-join sides.
+    blocks = blocks.withColumn(
+        "rb", F.sum(F.expr("shiftleft(1L, band)")).over(Window.partitionBy("id"))
+    ).localCheckpoint()
     # Salted self-join: a dense cluster puts its whole C(n,2) pair
     # enumeration in ONE (band, key) task; salting the left side by id
     # and replicating the right across the salt space spreads the same
@@ -175,11 +215,14 @@ def simhash_neardup(
     b = blocks.withColumn(
         "_s", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salt)]))
     )
-    # first-matching-band dedup: a pair that collides in k bands would be
-    # enumerated k times; instead of a distinct() (a full shuffle of the
-    # pair set), emit the pair ONLY in its smallest matching band — both
-    # fingerprints are in hand post-join, so "no earlier band matches"
-    # is a pure bit-arithmetic filter. Exactly-once per pair, no shuffle.
+    # first-matching-band dedup: a pair that collides in k surviving bands
+    # would be enumerated k times; instead of a distinct() (a full shuffle
+    # of the pair set), emit the pair ONLY in its smallest SURVIVING
+    # matching band. Both fingerprints are in hand post-join, so slice
+    # equality is bit arithmetic; survival of an earlier band i is bit i
+    # of the retained-band mask (when the slices match, both ids sit in
+    # the SAME (i, key) cell, so checking one side's mask suffices).
+    # Exactly-once per pair, no shuffle.
     def slice_eq(col_a, col_b, i):
         mask = F.lit((1 << width) - 1)
         return (
@@ -189,9 +232,10 @@ def simhash_neardup(
 
     no_earlier = F.lit(True)
     for i in range(bands - 1):
-        no_earlier = no_earlier & (
-            (F.col("band") <= F.lit(i)) | ~slice_eq(F.col("a.sh"), F.col("b.sh"), i)
+        earlier_match = slice_eq(F.col("a.sh"), F.col("b.sh"), i) & (
+            F.col("a.rb").bitwiseAND(F.lit(1 << i)) != F.lit(0)
         )
+        no_earlier = no_earlier & ((F.col("band") <= F.lit(i)) | ~earlier_match)
     return (
         a.alias("a").join(b.alias("b"), ["band", "key", "_s"])
         .filter(F.col("a.id") < F.col("b.id"))

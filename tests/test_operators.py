@@ -172,6 +172,70 @@ def test_embedding_neardup_guard_caps_buckets(spark):
     assert embedding_neardup(one, threshold=0.0, max_bucket=200).count() == 0
 
 
+def _ref_simhash_pairs(hashes, max_hamming, bands=4, bits=31, max_bucket=10_000):
+    """Driver-side reference: DISTINCT pairs over SURVIVING (band, key)
+    cells, exact hamming verify — the DuckDB-oracle semantics the Spark
+    first-matching-band plan must reproduce under bucket capping."""
+    from collections import defaultdict
+
+    width = (bits + bands - 1) // bands
+    cells = defaultdict(list)
+    for i, sh in hashes.items():
+        for b in range(bands):
+            cells[(b, (sh >> (b * width)) & ((1 << width) - 1))].append(i)
+    pairs = set()
+    for members in cells.values():
+        if len(members) > max_bucket:
+            continue
+        for x in members:
+            for y in members:
+                if x < y:
+                    pairs.add((x, y))
+    return {
+        (x, y, bin(hashes[x] ^ hashes[y]).count("1"))
+        for x, y in pairs
+        if bin(hashes[x] ^ hashes[y]).count("1") <= max_hamming
+    }
+
+
+def test_simhash_pair_survives_when_first_matching_band_is_capped(spark):
+    """A pair whose EARLIEST matching band sits in a bucket-capped cell
+    must still be emitted via a later surviving band (regression: the
+    first-matching-band filter used to test raw fingerprint slices and
+    rejected such pairs in every surviving band too)."""
+    from informers_spark.operators.dedup import simhash_pairs_from_hashes
+
+    # bands=4, width=8: band-i slice = (sh >> 8i) & 0xFF
+    x = 0x42 | (0x10 << 8) | (0x01 << 16)
+    y = 0x42 | (0x10 << 8) | (0x03 << 16)  # hamming(x, y) = 1
+    hashes = {0: x, 1: y}
+    # 300 fillers share band-0 slice 0x42 (capping that cell at
+    # max_bucket=100) but have distinct band-1..3 slices
+    for i in range(300):
+        hashes[10 + i] = 0x42 | ((i + 32) << 8) | ((i * 131 % 251) << 16) | ((i % 97) << 24)
+    df = spark.createDataFrame(list(hashes.items()), "id long, sh long")
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_pairs_from_hashes(df, max_hamming=2, max_bucket=100).collect()
+    }
+    assert (0, 1, 1) in got  # earliest matching band (0) was capped; band 1 survives
+    assert got == _ref_simhash_pairs(hashes, max_hamming=2, max_bucket=100)
+
+
+def test_simhash_pairs_match_distinct_reference_under_capping(spark):
+    """Exactly-once pair emission == DISTINCT-over-surviving-bands for
+    pseudo-random hashes with an aggressive cap (many cells capped)."""
+    from informers_spark.operators.dedup import simhash_pairs_from_hashes
+
+    hashes = {i: (i * 2654435761) % (1 << 31) | (i % 16) for i in range(400)}
+    df = spark.createDataFrame(list(hashes.items()), "id long, sh long")
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_pairs_from_hashes(df, max_hamming=6, max_bucket=20).collect()
+    }
+    assert got == _ref_simhash_pairs(hashes, max_hamming=6, max_bucket=20)
+
+
 def test_asof_join_carries_null_payload_consistently(spark):
     """A right row whose payload value is legitimately NULL must be
     delivered as NULL (not skipped for an older row), and multi-column

@@ -147,6 +147,22 @@ def test_knn_ivf_assignment_is_map_only_and_broadcasts_queries(spark):
     assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
 
 
+def test_skew_guard_is_broadcast_anti_join(spark):
+    # the two-phase bucket-cap guard: over-limit keys come from a
+    # groupBy count (map-side partial agg — a hot cell never lands in
+    # one task) and are removed with a BROADCAST anti-join. A window
+    # count here would shuffle the entire pathological cell into a
+    # single window task just to drop it.
+    from informers_spark.operators.dedup import drop_oversized_buckets
+
+    blocks = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 3).alias("band"), (F.col("id") % 17).alias("key")
+    )
+    plan = _plan(drop_oversized_buckets(blocks, ["band", "key"], 10))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "Window" not in plan
+
+
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     # co-located join: two tables bucketed on the same key with the same
     # bucket count must sort-merge join with NO Exchange on either side
