@@ -50,6 +50,8 @@ HEADLINE = [
     # new in r3
     "q_knn_ivf",
     "q_generate_penalized",
+    # new in r4
+    "q_knn_ivf_df",
 ]
 
 

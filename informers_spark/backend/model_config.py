@@ -20,6 +20,13 @@ ENCODER_ONLY_MODEL_TYPES = {
 }
 SEQ2SEQ_MODEL_TYPES = {"t5", "mt5", "bart", "mbart", "marian", "m2m_100", "nllb"}
 DECODER_ONLY_MODEL_TYPES = {"gpt2", "gptj", "gpt_neo", "gpt_neox", "llama", "mistral", "qwen2"}
+# Two-session SAM shape: vision_encoder + prompt_encoder_mask_decoder
+# (reference MaskGeneration loading slot, models.rb:154-158). Upstream's
+# MODEL_FOR_MASK_GENERATION_MAPPING_NAMES is EMPTY (models.rb:1324-1325)
+# so the type is registry-unreachable there; "sam" is the transformers.js
+# model_type the slot exists for, and config-driven dispatch makes it
+# reachable here.
+MASK_GENERATION_MODEL_TYPES = {"sam"}
 
 
 # model_type → named pad preset (the per-model pad_image overrides the

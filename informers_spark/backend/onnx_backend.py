@@ -25,10 +25,21 @@ import numpy as np
 import onnxruntime as ort  # noqa: F401  (import-guarded by caller)
 from tokenizers import Tokenizer  # noqa: F401
 
-from informers_spark.backend.model_config import parse_model_config
+from informers_spark.backend.model_config import (
+    DECODER_ONLY_MODEL_TYPES,
+    MASK_GENERATION_MODEL_TYPES,
+    parse_model_config,
+)
 
 
 class OnnxBackend:
+    @staticmethod
+    def _peek_model_type(cfg_path: str | None) -> str | None:
+        if cfg_path is None or not os.path.exists(cfg_path):
+            return None
+        with open(cfg_path) as f:
+            return json.load(f).get("model_type")
+
     def __init__(
         self,
         model_dir: str | None = None,
@@ -54,23 +65,64 @@ class OnnxBackend:
             # hub.rb:118-220). Driver-side; executors get a staged dir.
             from informers_spark.sources.hub import get_model_file
 
-            model_path = get_model_file(model_dir, f"onnx/model{suffix}.onnx")
-            tok_path = get_model_file(model_dir, "tokenizer.json")
+            # config FIRST: the session layout is config-driven (the
+            # MaskGeneration/SAM shape ships vision_encoder +
+            # prompt_encoder_mask_decoder instead of model.onnx,
+            # models.rb:154-158)
             cfg_path = get_model_file(model_dir, "config.json", fatal=False)
+            mt = self._peek_model_type(cfg_path)
+            if mt in MASK_GENERATION_MODEL_TYPES:
+                model_path = get_model_file(model_dir, f"onnx/vision_encoder{suffix}.onnx")
+                prompt_path = get_model_file(
+                    model_dir, f"onnx/prompt_encoder_mask_decoder{suffix}.onnx"
+                )
+                tok_path = None
+            else:
+                model_path = get_model_file(model_dir, f"onnx/model{suffix}.onnx")
+                tok_path = get_model_file(model_dir, "tokenizer.json")
+                prompt_path = None
+                # seq2seq/decoder checkpoints ship a merged decoder next to
+                # the encoder (optimum layout); fetch it too so the KV-cache
+                # path works for hub-resolved ids, not only pre-staged dirs
+                # (the dec_path probe below looks in the cached file's dir)
+                get_model_file(
+                    model_dir, f"onnx/decoder_model_merged{suffix}.onnx", fatal=False
+                )
         else:
-            model_path = os.path.join(model_dir, "onnx", f"model{suffix}.onnx")
-            tok_path = os.path.join(model_dir, "tokenizer.json")
             cfg_path = os.path.join(model_dir, "config.json")
             if not os.path.exists(cfg_path):
                 cfg_path = None
+            mt = self._peek_model_type(cfg_path)
+            if mt in MASK_GENERATION_MODEL_TYPES:
+                model_path = os.path.join(model_dir, "onnx", f"vision_encoder{suffix}.onnx")
+                prompt_path = os.path.join(
+                    model_dir, "onnx", f"prompt_encoder_mask_decoder{suffix}.onnx"
+                )
+                tok_path = None
+            else:
+                model_path = os.path.join(model_dir, "onnx", f"model{suffix}.onnx")
+                tok_path = os.path.join(model_dir, "tokenizer.json")
+                prompt_path = None
         self.session = ort.InferenceSession(
             model_path, providers=["CPUExecutionProvider"]
         )
-        self.tokenizer = Tokenizer.from_file(tok_path)
-        self.tokenizer.enable_padding()
-        self.tokenizer.enable_truncation(max_length=max_tokens)
+        # second session of the MaskGeneration pair (models.rb:154-158);
+        # None for every other model type
+        self.prompt_mask_session = None
+        if prompt_path is not None:
+            self.prompt_mask_session = ort.InferenceSession(
+                prompt_path, providers=["CPUExecutionProvider"]
+            )
+        self.tokenizer = None
+        if tok_path is not None:
+            self.tokenizer = Tokenizer.from_file(tok_path)
+            self.tokenizer.enable_padding()
+            self.tokenizer.enable_truncation(max_length=max_tokens)
         self.max_tokens = max_tokens
-        self.dim = int(self.session.get_outputs()[0].shape[-1])
+        try:
+            self.dim = int(self.session.get_outputs()[0].shape[-1])
+        except (TypeError, ValueError):
+            self.dim = None  # symbolic dim (vision sessions)
         self._input_names = {i.name for i in self.session.get_inputs()}
         # config-driven labels (reference: configs.rb:19-42); without this
         # classify/ner would emit stringified int labels
@@ -103,6 +155,22 @@ class OnnxBackend:
                 dec_path, providers=["CPUExecutionProvider"]
             )
             self._kv_dims = kv_dims_from_config(self._raw_config)
+        elif self.model_type in DECODER_ONLY_MODEL_TYPES:
+            # GPT-style checkpoint whose MAIN session is the decoder (no
+            # decoder_model_merged file, models.rb:1090-1096): the first
+            # generate step still needs zero-length past feeds, so derive
+            # the KV dims from config.json (n_layer/n_head/n_embd) here —
+            # decoder_forward's `self._kv_dims or {}` fallback used to
+            # leave this empty and the session rejected the missing
+            # past_key_values inputs
+            from informers_spark.backend.kv_cache import kv_dims_from_config
+
+            try:
+                self._kv_dims = kv_dims_from_config(self._raw_config)
+            except (ValueError, KeyError):
+                # family without a dim rule: unchanged behavior (the
+                # generate loop will surface the missing-past error)
+                pass
 
     def set_padding_side(self, side: str) -> None:
         """tokenizer.padding_side= (reference tokenizers.rb:141-143 →
@@ -396,6 +464,36 @@ class OnnxBackend:
             self.id2label or [str(i) for i in range(logits.shape[-1])]
         )
         return logits, id2label
+
+    # --- MaskGeneration (SAM) session pair ------------------------------------
+    # The reference's last un-ported model_type: two sessions, no pipeline
+    # consumes them upstream either (MODEL_FOR_MASK_GENERATION_MAPPING_NAMES
+    # is empty, models.rb:1324-1325) — this is loading/forward parity only.
+
+    def sam_image_embeddings(self, pixel_values: np.ndarray) -> np.ndarray:
+        """vision_encoder run (first MaskGeneration session,
+        models.rb:156): pixel_values [B,C,H,W] f32 → image embeddings
+        (output slot 0). Run ONCE per image; the prompt decoder is then
+        cheap per point-prompt."""
+        if self.prompt_mask_session is None:
+            raise RuntimeError("not a MaskGeneration checkpoint (no session pair)")
+        outs = self._run_feeds({"pixel_values": np.asarray(pixel_values, np.float32)})
+        return outs[0].astype(np.float32)
+
+    def sam_mask_forward(self, feeds: dict) -> list:
+        """prompt_encoder_mask_decoder run (second MaskGeneration session,
+        models.rb:157), declared-inputs-only: feeds exactly the session's
+        inputs (image_embeddings / input_points / input_labels …,
+        models.rb:653-663 contract) and returns the raw output list
+        (masks, iou_scores)."""
+        if self.prompt_mask_session is None:
+            raise RuntimeError("not a MaskGeneration checkpoint (no session pair)")
+        names = {i.name for i in self.prompt_mask_session.get_inputs()}
+        feed = {k: np.asarray(v) for k, v in feeds.items() if k in names}
+        missing = names - set(feed)
+        if missing:
+            raise RuntimeError(f"session expects inputs {sorted(missing)}")
+        return self.prompt_mask_session.run(None, feed)
 
     def qa_batch(self, questions: list[str], contexts: list[str]):
         """Batched QA: ONE encode_batch + ONE session.run per Arrow batch

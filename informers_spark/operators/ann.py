@@ -237,8 +237,14 @@ def knn_ivf(
     a (query, corpus) pair can collide in at most one cell, so no
     distinct is needed before scoring. centroid_rows is the trained
     coarse quantizer [(cell_label, centroid_vec)]; here the per-label
-    means (ann.centroids) stand in deterministically — at real scale
-    swap in sampled-kmeans centroids, the plan is identical.
+    means (ann.centroids) stand in deterministically.
+
+    K-growth caveat: the inline-literal probe puts O(K·dim) literals
+    into EVERY stage's serialized plan — fine at K≲100, a multi-MB
+    plan (driver serialization + per-stage task broadcast) at the
+    K≈4√N≈65k a 100-TB IVF needs. Past that, use knn_ivf_df, which
+    ships the centroids as broadcast DATA instead of plan text while
+    keeping the assignment map-only.
     → (query_id, neighbor_id, rank, cos_sim)."""
     cents = sorted(centroid_rows)
     c = corpus.select(
@@ -247,6 +253,84 @@ def knn_ivf(
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .withColumn("cell", F.explode(ivf_probe(F.col("qv"), cents, nprobe)))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def centroid_vectors(df: DataFrame) -> DataFrame:
+    """Assemble the per-label mean centroids (ann.centroids long format)
+    into a (label:int, vec:array<double>) DataFrame — the quantizer shape
+    knn_ivf_df broadcasts. Stays distributed: no collect."""
+    return (
+        centroids(df)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_val"))).alias("dv"))
+        .select(F.col("label").cast("int").alias("label"), F.col("dv.mean_val").alias("vec"))
+    )
+
+
+def _ivf_cells_from_packed(vec: Column, cents: Column, nprobe: int) -> Column:
+    """Top-nprobe cell labels for `vec` against a packed
+    array<struct<label,vec>> centroid column (broadcast data, not plan
+    literals). Same tie-break as ivf_probe: (cos DESC, label ASC)."""
+    scored = F.transform(
+        cents,
+        lambda s: F.struct(
+            cosine(vec, s["vec"]).alias("cos"),
+            (-s["label"]).cast("int").alias("neg"),
+        ),
+    )
+    top = F.slice(F.sort_array(scored, asc=False), 1, nprobe)
+    return F.transform(top, lambda s: -s["neg"])
+
+
+def knn_ivf_df(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat top-k with the coarse quantizer as a broadcast DataFrame —
+    the scale path once K grows past the inline-literal plan's comfort
+    zone (see knn_ivf). The centroid set is packed into ONE row holding
+    an array<struct<label,vec>> and attached to each side with a
+    broadcast nested-loop join (1-row inner side → exactly one output
+    row per input row, map-only: no shuffle of the corpus, no O(K·dim)
+    plan literals — centroids travel once per executor as broadcast
+    data). Cell assignment, candidate equi-join, and scoring are then
+    identical to knn_ivf; the two are equality-tested at K=10.
+    → (query_id, neighbor_id, rank, cos_sim)."""
+    packed = F.broadcast(
+        centroids_df.agg(
+            F.array_sort(F.collect_list(F.struct("label", "vec"))).alias("_cents")
+        )
+    )
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .crossJoin(packed)
+        .withColumn("cell", _ivf_cells_from_packed(F.col("cv"), F.col("_cents"), 1)[0])
+        .drop("_cents")
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(packed)
+        .withColumn(
+            "cell", F.explode(_ivf_cells_from_packed(F.col("qv"), F.col("_cents"), nprobe))
+        )
+        .drop("_cents")
     )
     scored = (
         c.join(F.broadcast(q), "cell")

@@ -246,14 +246,38 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 def q_approx_distinct(spark, sf_dir):
-    """Rows-only: HLL sketches differ across engines by design — the
-    exact-distinct twin (q_distinct_parts) is the oracle-checked one."""
+    """approx_count_distinct, oracle-checked on its INVARIANT: HLL sketch
+    values are engine-specific (DuckDB cannot reproduce Spark's
+    registers), so instead of rows-only the query emits per-group
+    (exact_parts, within_tol) where within_tol asserts the approx is
+    within 5% relative error of the exact distinct count (Spark's
+    default HLL rsd). DuckDB recomputes exact_parts and pins
+    within_tol=TRUE — a real value-hash gate on both the exact count
+    and the sketch's accuracy contract."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey").alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.05
+            ).alias("within_tol"),
+        )
         .orderBy("l_returnflag")
     )
+
+
+Q_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_tol
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
 
 
 def q_asof_join(spark, sf_dir):
@@ -615,10 +639,16 @@ ORDER BY a, b
 
 def q_minhash_pairs_fast(spark, sf_dir):
     """Production MinHash path: xxhash64 shingle fingerprints (one JVM
-    hash per shingle instead of a per-character fold). Rows-only by
-    design — hash values are engine-specific, so the portable twin
-    (q_minhash_pairs) carries the oracle gate, exactly like
-    q_distinct_parts does for q_approx_distinct."""
+    hash per shingle instead of a per-character fold). Oracle: the
+    PORTABLE twin's SQL (Q_MINHASH_SQL). This is sound at the gate scale
+    because (a) the verify step's exact Jaccard is hash-invariant —
+    |A∩B|/|A∪B| over distinct shingle fingerprints equals the
+    string-shingle Jaccard for any injective-at-this-scale hash — and
+    (b) both bandings recall every Jaccard≥0.2 pair at sf≤0.1 (asserted
+    empirically; pair sets AND jac values are identical). At larger
+    corpora the two candidate sets may diverge on borderline pairs
+    (different signatures → different band collisions); the oracle pins
+    gate-scale equivalence, which is what the driver runs."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_pairs(docs, threshold=0.2, portable=False).orderBy("a", "b")
 
@@ -942,6 +972,19 @@ ranked AS (
 SELECT query_id, neighbor_id, rank::INT AS rank, ROUND(cs, 6) AS cos_sim
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+def q_knn_ivf_df(spark, sf_dir):
+    """IVF-flat top-k with the quantizer as broadcast DATA (ann.knn_ivf_df)
+    — the K-growth scale path: centroids are packed into one
+    array<struct> row and attached with a 1-row broadcast nested-loop
+    join (map-only), instead of O(K·dim) plan literals. Same oracle as
+    q_knn_ivf (the two variants are equality-tested in
+    tests/test_operators.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.knn_ivf_df(
+        emb, emb.filter(F.col("vec_id") < 10), ann.centroid_vectors(emb), k=5, nprobe=2
+    ).orderBy("query_id", "rank")
 
 
 def q_knn_lsh(spark, sf_dir):
@@ -1584,34 +1627,33 @@ ORDER BY doc_id, start
 # green in BOTH r01 and r02 sit at the tail, where falling past the cap
 # costs the least signal.
 QUERIES = {
-    # -- never driver-verified before r03 (VERDICT r02 "what's wrong" #1) --
-    "q_image_embed": q_image_embed,
-    "q_image_segment": q_image_segment,
-    "q_depth_docs": q_depth_docs,
-    "q_image_caption": q_image_caption,
-    "q_image_to_image": q_image_to_image,
-    "q_audio_classify": q_audio_classify,
-    "q_zero_shot_audio": q_zero_shot_audio,
-    "q_text_to_audio": q_text_to_audio,
-    "q_doc_qa": q_doc_qa,
-    # -- new in r03 --
-    "q_generate_penalized": q_generate_penalized,
-    "q_knn_ivf": q_knn_ivf,
-    "q_dedup_corpus": q_dedup_corpus,
-    # -- verified once (r02 only) --
-    "q_classify_topk": q_classify_topk,
-    "q_generate_docs": q_generate_docs,
-    "q_image_classify": q_image_classify,
-    "q_image_classify_all": q_image_classify_all,
-    "q_knn_lsh": q_knn_lsh,
+    # -- r2-green queries that fell past the r3 cap (VERDICT r03 task 2):
+    # lead so every oracle query has a driver row from r2∪r3∪r4 --
+    "q_fill_mask_docs": q_fill_mask_docs,
+    "q_embed_binary_docs": q_embed_binary_docs,
+    "q_rollup_lineitem": q_rollup_lineitem,
+    "q_pivot_status": q_pivot_status,
+    "q_distinct_parts": q_distinct_parts,
+    "q_approx_distinct": q_approx_distinct,
+    "q_anti_join_customers": q_anti_join_customers,
+    "q_semi_join_parts": q_semi_join_parts,
+    "q_events_json": q_events_json,
+    "q_top_events": q_top_events,
+    "q_fingerprint": q_fingerprint,
+    "q_jaccard_sample": q_jaccard_sample,
+    # -- new in r04 --
+    "q_knn_ivf_df": q_knn_ivf_df,
+    # -- code touched in r04 (two-phase skew guard, first-band fix,
+    # IVF docstring/variant): must re-verify this round --
+    "q_minhash_pairs": q_minhash_pairs,
     "q_minhash_pairs_fast": q_minhash_pairs_fast,
-    "q_object_detect": q_object_detect,
+    "q_simhash": q_simhash,
     "q_simhash_neardup": q_simhash_neardup,
-    "q_stream_window": q_stream_window,
-    "q_zero_shot_detect": q_zero_shot_detect,
-    "q_zero_shot_image": q_zero_shot_image,
-    "q_zero_shot_multi": q_zero_shot_multi,
-    # -- verified in r01 + r02; headline/flagship ones kept in-cap --
+    "q_dedup_corpus": q_dedup_corpus,
+    "q_embedding_neardup": q_embedding_neardup,
+    "q_knn_lsh": q_knn_lsh,
+    "q_knn_ivf": q_knn_ivf,
+    # -- headline/flagship + core relational (unchanged, keep in-cap) --
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -1624,33 +1666,38 @@ QUERIES = {
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
     "q_kw_mentions": q_kw_mentions,
-    "q_minhash_pairs": q_minhash_pairs,
-    "q_simhash": q_simhash,
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_lsh_buckets": q_lsh_buckets,
     "q_centroids": q_centroids,
-    "q_embedding_neardup": q_embedding_neardup,
     "q_range_join_events": q_range_join_events,
     "q_cc_components": q_cc_components,
     "q_classify_docs": q_classify_docs,
     "q_zero_shot_docs": q_zero_shot_docs,
+    "q_zero_shot_multi": q_zero_shot_multi,
     "q_rerank_docs": q_rerank_docs,
     "q_embed_docs": q_embed_docs,
     "q_ner_docs": q_ner_docs,
     "q_qa_docs": q_qa_docs,
-    "q_fill_mask_docs": q_fill_mask_docs,
-    "q_embed_binary_docs": q_embed_binary_docs,
-    # -- tail: twice-verified (r01+r02), lowest cost if past the cap --
-    "q_rollup_lineitem": q_rollup_lineitem,
-    "q_pivot_status": q_pivot_status,
-    "q_distinct_parts": q_distinct_parts,
-    "q_approx_distinct": q_approx_distinct,
-    "q_anti_join_customers": q_anti_join_customers,
-    "q_semi_join_parts": q_semi_join_parts,
-    "q_events_json": q_events_json,
-    "q_top_events": q_top_events,
-    "q_fingerprint": q_fingerprint,
-    "q_jaccard_sample": q_jaccard_sample,
+    "q_classify_topk": q_classify_topk,
+    "q_generate_docs": q_generate_docs,
+    "q_stream_window": q_stream_window,
+    "q_image_classify_all": q_image_classify_all,
+    "q_zero_shot_detect": q_zero_shot_detect,
+    # -- tail (past the 50-row cap): r3-green, code UNCHANGED in r4 —
+    # falling out costs the least signal --
+    "q_image_embed": q_image_embed,
+    "q_image_segment": q_image_segment,
+    "q_depth_docs": q_depth_docs,
+    "q_image_caption": q_image_caption,
+    "q_image_to_image": q_image_to_image,
+    "q_audio_classify": q_audio_classify,
+    "q_zero_shot_audio": q_zero_shot_audio,
+    "q_text_to_audio": q_text_to_audio,
+    "q_doc_qa": q_doc_qa,
+    "q_generate_penalized": q_generate_penalized,
+    "q_image_classify": q_image_classify,
+    "q_zero_shot_image": q_zero_shot_image,
+    "q_object_detect": q_object_detect,
 }
 
 ORACLE_SQL = {
@@ -1676,12 +1723,15 @@ ORACLE_SQL = {
     "q_lang_id": _langid_sql(),
     "q_kw_mentions": Q_KW_MENTIONS_SQL,
     "q_minhash_pairs": Q_MINHASH_SQL,
+    "q_minhash_pairs_fast": Q_MINHASH_SQL,  # hash-invariant verify; see docstring
+    "q_approx_distinct": Q_APPROX_DISTINCT_SQL,
     "q_simhash": _simhash_sql(),
     "q_simhash_neardup": _simhash_neardup_sql(),
     "q_jaccard_sample": _jaccard_sample_sql(),
     "q_knn_bruteforce": Q_KNN_SQL,
     "q_knn_lsh": _knn_lsh_sql(),
     "q_knn_ivf": _knn_ivf_sql(),
+    "q_knn_ivf_df": _knn_ivf_sql(),  # same output contract as q_knn_ivf
     "q_dedup_corpus": _dedup_corpus_sql(),
     "q_lsh_buckets": _lsh_buckets_sql(),
     "q_centroids": Q_CENTROIDS_SQL,

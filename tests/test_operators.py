@@ -152,6 +152,41 @@ def test_knn_lsh_recall_vs_bruteforce(spark):
     assert r16 >= r8 > r1  # more tables -> more recall
 
 
+def test_knn_ivf_df_equals_inline_literal_variant(spark):
+    """knn_ivf_df (centroids as broadcast DATA — the K-growth scale path)
+    must return exactly what knn_ivf (centroids as plan literals) returns
+    for the same quantizer, including tie-breaks."""
+    from informers_spark.operators import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    rows = ann.centroid_rows_from_labels(emb)
+    cents_df = ann.centroid_vectors(emb)
+    lit_out = {
+        tuple(r) for r in ann.knn_ivf(emb, q, rows, k=5, nprobe=2).collect()
+    }
+    df_out = {
+        tuple(r) for r in ann.knn_ivf_df(emb, q, cents_df, k=5, nprobe=2).collect()
+    }
+    assert df_out == lit_out and len(df_out) == 50
+
+
+def test_knn_ivf_df_assignment_is_map_only(spark):
+    # the packed-centroid attach must be a broadcast nested-loop join
+    # (1-row side) with NO exchange between the corpus scan and the cell
+    # equi-join — same map-only property the literal plan has
+    from informers_spark.operators import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    plan = ann.knn_ivf_df(emb, q, ann.centroid_vectors(emb), k=5, nprobe=2)._sc._jvm.PythonSQLUtils.explainString(
+        ann.knn_ivf_df(emb, q, ann.centroid_vectors(emb), k=5, nprobe=2)._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row centroid attach
+    assert "BroadcastHashJoin" in plan  # the cell equi-join, query side broadcast
+
+
 def test_embedding_neardup_guard_caps_buckets(spark):
     """The max_bucket window guard must bound candidate pairs even when
     every vector lands in one cell (all-identical vectors = the dense

@@ -147,6 +147,26 @@ def test_knn_ivf_assignment_is_map_only_and_broadcasts_queries(spark):
     assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
 
 
+def test_salt_buckets_knob_reaches_repartition_expression(spark):
+    # the KG hot-repo salt fan-out must track the requested bucket count
+    # (default: 2x cluster parallelism), not a hard-coded constant — at
+    # 1000 executors a fixed 64 caps a hot repo at 64 tasks
+    from informers_spark.plans.kg import salt_partition
+
+    df = spark.range(0, 100).select(
+        F.col("id").cast("string").alias("repo"), F.col("id").alias("path")
+    )
+    for buckets in (7, 256):
+        plan = _plan(salt_partition(df, None, "repo", salt_buckets=buckets))
+        assert f"pmod(xxhash64(repo" in plan and f", {buckets})" in plan, plan
+    # default: 2x defaultParallelism
+    default = spark.sparkContext.defaultParallelism * 2
+    plan = _plan(salt_partition(df, None, "repo"))
+    assert f", {default})" in plan, plan
+    # salt is dropped before output: same rows either way
+    assert salt_partition(df, None, "repo", salt_buckets=7).columns == ["repo", "path"]
+
+
 def test_skew_guard_is_broadcast_anti_join(spark):
     # the two-phase bucket-cap guard: over-limit keys come from a
     # groupBy count (map-side partial agg — a hot cell never lands in
