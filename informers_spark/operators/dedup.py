@@ -23,6 +23,21 @@ from informers_spark.functions.similarity import (
 from informers_spark.functions.text import fingerprint
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Conditional rebalance ahead of a compute-heavy per-row fold: when
+    the upstream scan yields fewer partitions than the cluster's default
+    parallelism (single-row-group files — the bench-scale shape; a 100-TB
+    corpus scan is already thousands of splits), repartition so the fold
+    uses every core instead of serializing into one task (measured: the
+    sf0.1 documents scan is ONE partition, putting the whole MinHash
+    per-char fold on one core). Strict no-op — no shuffle — when the
+    scan is already at least as parallel as the cluster."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def drop_oversized_buckets(
     blocks: DataFrame, key_cols: list[str], max_bucket: int
 ) -> DataFrame:
@@ -94,7 +109,8 @@ def minhash_pairs(
     # fold 3-5x (measured 3x slower). At cluster scale this is the
     # stage boundary a warehouse checkpoint would give us anyway.
     base = (
-        df.select(
+        spread_scan(df)
+        .select(
             F.col(id_col).alias("id"),
             shingle_fingerprints(F.col(text_col), shingle_n, portable=portable).alias("fps"),
         )
@@ -132,7 +148,7 @@ def simhash_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 31
 ) -> DataFrame:
     """→ (id, simhash) 31-bit portable SimHash per document."""
-    return df.select(
+    return spread_scan(df).select(
         F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("simhash")
     )
 
@@ -159,7 +175,7 @@ def simhash_neardup(
     (LSH-style partial recall) — raise `bands` to max_hamming + 1 for
     guaranteed recall at a wider radius. Default keeps the two
     consistent (3 = bands - 1)."""
-    base = df.select(
+    base = spread_scan(df).select(
         F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
     )
     return simhash_pairs_from_hashes(
@@ -178,6 +194,12 @@ def simhash_pairs_from_hashes(
     fingerprint computation, factored out so tests can drive exact hash
     values (the bucket-cap/first-band interaction below is unreachable at
     fixture scale through real texts)."""
+    # materialize the (id, sh) fold ONCE: the two-phase guard's count
+    # branch, its anti-join side, and both self-join sides all consume it
+    # — without this the fingerprint computation re-runs per branch
+    # (measured 7.4s -> 0.6s for the guarded blocks at sf0.1). Two tiny
+    # columns; at cluster scale this is a warehouse-checkpoint stage.
+    base = base.localCheckpoint()
     width = (bits + bands - 1) // bands
     keys = F.array(
         *[
@@ -193,17 +215,36 @@ def simhash_pairs_from_hashes(
     blocks = base.select("id", "sh", F.explode(keys).alias("bk")).select(
         "id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    blocks = drop_oversized_buckets(blocks, ["band", "key"], max_bucket)
-    # retained-band bitmask per id: bit i set iff this id's band-i block
-    # SURVIVED the bucket cap. Needed by the first-matching-band filter
-    # below — without it, a pair whose earliest matching band was capped
-    # would be rejected in every surviving band too and silently lost
-    # (the guard's own skew scenario). One id-keyed window shuffle
-    # (high-cardinality uniform key); checkpointed since the blocks feed
-    # BOTH self-join sides.
-    blocks = blocks.withColumn(
-        "rb", F.sum(F.expr("shiftleft(1L, band)")).over(Window.partitionBy("id"))
-    ).localCheckpoint()
+    # two-phase skew guard (see drop_oversized_buckets), with a bounded
+    # driver-side probe on the over-limit key set: limit(1).count() on a
+    # map-side-aggregated groupBy (the canon.py class of documented
+    # probes). In the COMMON case no cell is capped and the retained-band
+    # bitmask below is a constant — skipping its id-keyed window shuffle
+    # (measured ~2s of the 4.4s query at sf0.1).
+    over = (
+        blocks.groupBy("band", "key")
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") > max_bucket)
+        .select("band", "key")
+    )
+    if over.limit(1).count() == 0:
+        # nothing capped: every band retained for every id
+        blocks = blocks.withColumn("rb", F.lit(-1).cast("long")).localCheckpoint()
+    else:
+        # retained-band bitmask per id: bit i set iff this id's band-i
+        # block SURVIVED the bucket cap. Needed by the first-matching-band
+        # filter below — without it, a pair whose earliest matching band
+        # was capped would be rejected in every surviving band too and
+        # silently lost (the guard's own skew scenario). One id-keyed
+        # window shuffle (high-cardinality uniform key); checkpointed
+        # since the blocks feed BOTH self-join sides.
+        blocks = (
+            blocks.join(F.broadcast(over), ["band", "key"], "left_anti")
+            .withColumn(
+                "rb", F.sum(F.expr("shiftleft(1L, band)")).over(Window.partitionBy("id"))
+            )
+            .localCheckpoint()
+        )
     # Salted self-join: a dense cluster puts its whole C(n,2) pair
     # enumeration in ONE (band, key) task; salting the left side by id
     # and replicating the right across the salt space spreads the same
@@ -252,7 +293,7 @@ def fingerprint_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """→ (id, fp) rolling-hash document fingerprint (portable arithmetic)."""
-    return df.select(
+    return spread_scan(df).select(
         F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp")
     )
 
