@@ -15,6 +15,25 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from informers_spark.functions.similarity import cosine
+from informers_spark.operators.dedup import spread_scan
+
+
+def _expr_vec(vals) -> Column:
+    """array<double> literal parsed JVM-side from ONE SQL string: F.lit(list)
+    converts element-by-element over py4j (~0.8 ms/element — 1.6 s of DRIVER
+    time for a 32x64 plane matrix, paid per query construction), F.expr
+    parses the identical literal in ~2 ms. Python float repr round-trips,
+    so values are bit-identical to the F.lit form."""
+    return F.expr("array(" + ",".join(f"{float(x)}D" for x in vals) + ")")
+
+
+def _expr_matrix(rows) -> Column:
+    """array<array<double>> literal, same rationale as _expr_vec."""
+    return F.expr(
+        "array("
+        + ",".join("array(" + ",".join(f"{float(x)}D" for x in r) + ")" for r in rows)
+        + ")"
+    )
 
 
 def plane_weights(n_planes: int, dim: int) -> list[list[int]]:
@@ -29,9 +48,7 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
         dot_i = F.aggregate(
             F.zip_with(
                 vec,
-                # one list-literal py4j call per plane, not one per weight
-                # (plan construction cost, see _literal_vec)
-                F.lit([float(x) for x in w[i]]),
+                _expr_vec(w[i]),  # JVM-parsed literal (see _expr_vec)
                 lambda v, p: v.cast("double") * p,
             ),
             F.lit(0.0),
@@ -54,7 +71,9 @@ def knn_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = spread_scan(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -76,26 +95,45 @@ def banded_buckets(
     one plane of one table still collide in another. Band 0 with r=8 is
     bit-identical to hyperplane_bucket(vec, 8) (same global plane weights).
     → array<struct<band:int, bucket:bigint>>; explode to block on
-    (band, bucket)."""
-    w = plane_weights(bands * planes_per_band, dim)
-    entries = []
-    for t in range(bands):
-        bucket = F.lit(0).cast("long")
-        for i in range(planes_per_band):
-            g = t * planes_per_band + i
-            dot_i = F.aggregate(
+    (band, bucket).
+
+    Construction shape: the whole plane matrix ships as ONE nested array
+    literal and the per-plane dots/sign bits are built with transform/
+    zip_with/aggregate lambdas — a handful of py4j round-trips instead of
+    one aggregate(zip_with(...)) tree per plane (the old per-plane build
+    cost 3.5s of DRIVER time per call at bands*r=32; evaluation is
+    unchanged and value-identical, same left-fold order as the SQL
+    oracle)."""
+    w = _expr_matrix(plane_weights(bands * planes_per_band, dim))
+    dots = F.transform(
+        w,
+        lambda p: F.aggregate(
+            F.zip_with(vec, p, lambda v, x: v.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    bits = F.transform(
+        dots, lambda d: F.when(d > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+    pow2 = F.expr(
+        "array(" + ",".join(f"{1 << i}L" for i in range(planes_per_band)) + ")"
+    )
+    entries = [
+        F.struct(
+            F.lit(t).cast("int").alias("band"),
+            F.aggregate(
                 F.zip_with(
-                    vec,
-                    F.lit([float(x) for x in w[g]]),
-                    lambda v, p: v.cast("double") * p,
+                    F.slice(bits, t * planes_per_band + 1, planes_per_band),
+                    pow2,
+                    lambda b, p: b * p.cast("long"),
                 ),
-                F.lit(0.0),
+                F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
-            )
-            bucket = bucket + F.when(dot_i > 0, F.lit(2**i)).otherwise(F.lit(0)).cast("long")
-        entries.append(
-            F.struct(F.lit(t).cast("int").alias("band"), bucket.alias("bucket"))
+            ).alias("bucket"),
         )
+        for t in range(bands)
+    ]
     return F.array(*entries)
 
 
@@ -115,11 +153,22 @@ def _banded_blocks(
     uses; see dedup.drop_oversized_buckets for why not a window count)."""
     from informers_spark.operators.dedup import drop_oversized_buckets
 
+    if max_bucket:
+        # corpus/self-join side: the banded-bucket expressions are the
+        # heavy part — spread a coarse scan so they use every core (the
+        # broadcast query side passes max_bucket=None and stays put)
+        df = spread_scan(df)
     blocks = df.select(
         F.col(id_col).alias(out_id),
         F.explode(banded_buckets(F.col(vec_col), bands, planes_per_band)).alias("bk"),
     ).select(out_id, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     if max_bucket:
+        # materialize the bucket computation ONCE: the guard's count
+        # branch, its anti-join side, and the downstream join side(s) all
+        # consume this table — without a checkpoint the bands×planes
+        # aggregate expressions re-run per branch (measured 4x on the
+        # embedding_neardup self-join). Three small columns.
+        blocks = blocks.localCheckpoint()
         blocks = drop_oversized_buckets(blocks, ["band", "bucket"], max_bucket)
     return blocks
 
@@ -182,11 +231,7 @@ def _literal_vec(values) -> Column:
     Building it as 64 separate F.lit() elements put ~1300 driver py4j
     round-trips into plan CONSTRUCTION for a 10-centroid quantizer —
     measured 5.2 s of driver time before a single task ran."""
-    vals = [float(x) for x in values]
-    try:
-        return F.lit(vals)
-    except Exception:  # older Spark without list literals
-        return F.array(*[F.lit(x).cast("double") for x in vals])
+    return _expr_vec(values)
 
 
 def ivf_probe(
@@ -247,7 +292,7 @@ def knn_ivf(
     keeping the assignment map-only.
     → (query_id, neighbor_id, rank, cos_sim)."""
     cents = sorted(centroid_rows)
-    c = corpus.select(
+    c = spread_scan(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).withColumn("cell", ivf_probe(F.col("cv"), cents, 1)[0])
     q = (
@@ -319,7 +364,8 @@ def knn_ivf_df(
         )
     )
     c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        spread_scan(corpus)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
         .crossJoin(packed)
         .withColumn("cell", _ivf_cells_from_packed(F.col("cv"), F.col("_cents"), 1)[0])
         .drop("_cents")
