@@ -9,9 +9,11 @@ oracle_sql() — DuckDB-equivalent SQL per query (same constants inlined);
                NER has an exact SQL oracle; md5-seeded inference outputs
                (embed / QA / fill-mask / generate / vision / audio) are
                pinned by frozen parquet fixtures wired into oracle_sql()
-               (queries.FIXTURE_QUERIES). Only q_approx_distinct and
-               q_minhash_pairs_fast are rows-only, by design — each is
-               the engine-specific twin of an oracle-checked query.
+               (queries.FIXTURE_QUERIES). Every query has an oracle (r4):
+               q_approx_distinct pins the HLL accuracy invariant (approx
+               within 5% of DuckDB's exact count) and q_minhash_pairs_fast
+               reuses the portable twin's SQL (the exact-Jaccard verify is
+               hash-invariant; see its docstring).
 """
 
 from __future__ import annotations
