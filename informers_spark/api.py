@@ -53,7 +53,9 @@ SUPPORTED_TASKS = {
     "question-answering": question_answering,
     "fill-mask": fill_mask,
     "zero-shot-classification": zero_shot,
-    "feature-extraction": partial(embed, pooling="mean", do_normalize=False),
+    # feature-extraction defaults: pooling "none" (per-token vectors) +
+    # no normalize (pipelines.rb:824-826) — overridable per call
+    "feature-extraction": partial(embed, pooling="none", do_normalize=False),
     # embedding defaults: pooling mean + normalize (pipelines.rb:1042-1051)
     "embedding": partial(embed, pooling="mean", do_normalize=True),
     "reranking": rerank,

@@ -29,8 +29,13 @@ class InferenceBackend(Protocol):
 
     dim: int
 
-    def encode(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
-        """→ (last_hidden [b,seq,dim] f32, attention_mask [b,seq] int64)."""
+    def encode(
+        self, texts: list[str], output_names: list[str] | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """→ (last_hidden [b,seq,dim] f32, attention_mask [b,seq] int64).
+        output_names selects named model outputs (the reference's
+        model_output option, pipelines.rb:836-838); a pooled output
+        ("sentence_embedding") returns [b,dim]."""
         ...
 
     def token_classify(

@@ -62,7 +62,10 @@ def _token_vector(token: str, dim: int) -> np.ndarray:
 
 
 class HashBackend:
-    def __init__(self, dim: int = 64, max_tokens: int = 512, vocab=None, **_):
+    def __init__(
+        self, dim: int = 64, max_tokens: int = 512, vocab=None,
+        declared_output_names=None, **_,
+    ):
         """vocab (tuple of subword strings, hashable for the executor-
         singleton cache): switches tokenization to WordPiece-lite —
         greedy longest-match with '##' continuations and per-SUBWORD
@@ -70,6 +73,11 @@ class HashBackend:
         subword semantics (tokenizers.rb:65-119)."""
         self.dim = dim
         self.max_tokens = max_tokens
+        # legacy-MiniLM simulation hook: set to ["token_embeddings"] to
+        # exercise the embed() auto-switch (pipelines.rb:1412-1415)
+        self.declared_output_names = (
+            list(declared_output_names) if declared_output_names else None
+        )
         self._vec_cache: dict[str, np.ndarray] = {}
         self._tag_cache: dict[str, str | None] = {}
         self.wordpiece = None
@@ -86,7 +94,26 @@ class HashBackend:
         return v
 
     # --- embedding path ---------------------------------------------------
-    def encode(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    def encode(
+        self, texts: list[str], output_names: list[str] | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Named outputs mirror the reference's model_output selection
+        (pipelines.rb:836-838): "token_embeddings"/None → the hidden
+        tensor [b,seq,dim]; "sentence_embedding" → the already-pooled
+        [b,dim] twin (deterministic stand-in for arctic-style models,
+        test/model_test.rb:155-158)."""
+        if output_names is not None:
+            if len(output_names) != 1 or output_names[0] not in (
+                "token_embeddings",
+                "sentence_embedding",
+            ):
+                # reference raises Error on unexpected outputs (pipelines.rb:850-852)
+                raise ValueError(f"unexpected outputs: {output_names}")
+            if output_names[0] == "sentence_embedding":
+                from informers_spark.functions.kernels import mean_pooling
+
+                hidden, mask = self.encode(texts)
+                return mean_pooling(hidden, mask), mask
         tok_lists = [
             [t for t, _, _ in tokenize_with_offsets(x)][: self.max_tokens] or [""]
             for x in texts

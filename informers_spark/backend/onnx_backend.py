@@ -124,6 +124,17 @@ class OnnxBackend:
         except (TypeError, ValueError):
             self.dim = None  # symbolic dim (vision sessions)
         self._input_names = {i.name for i in self.session.get_inputs()}
+        self._output_names = [o.name for o in self.session.get_outputs()]
+        # previous-revision all-MiniLM-L6-v2 ships a token_embeddings
+        # output; the embed pipeline reads this to auto-switch
+        # mean+normalize to the model's own sentence_embedding output
+        # (reference pipelines.rb:1412-1415 sets @output_names, consumed
+        # at :839-845)
+        self.declared_output_names = None
+        if "token_embeddings" in self._output_names and str(model_dir).endswith(
+            "all-MiniLM-L6-v2"
+        ):
+            self.declared_output_names = ["token_embeddings"]
         # config-driven labels (reference: configs.rb:19-42); without this
         # classify/ner would emit stringified int labels
         self.model_type, self.id2label, self.label2id = None, None, {}
@@ -167,7 +178,9 @@ class OnnxBackend:
 
             try:
                 self._kv_dims = kv_dims_from_config(self._raw_config)
-            except (ValueError, KeyError):
+            except (ValueError, KeyError, TypeError):
+                # TypeError: config has n_layer but n_head/n_embd None —
+                # kv_dims_from_config divides them (ADVICE r4)
                 # family without a dim rule: unchanged behavior (the
                 # generate loop will surface the missing-past error)
                 pass
@@ -226,9 +239,16 @@ class OnnxBackend:
         outs = self.session.run(output_names, feed)
         return outs, mask
 
-    def encode(self, texts: list[str]):
+    def encode(self, texts: list[str], output_names: list[str] | None = None):
+        """output_names selects named session outputs, the reference's
+        model_output option (pipelines.rb:836-838); unknown names raise
+        like the reference's unexpected-outputs Error (:850-852)."""
+        if output_names is not None:
+            missing = [n for n in output_names if n not in self._output_names]
+            if missing:
+                raise ValueError(f"unexpected outputs: {missing}")
         enc = self.tokenizer.encode_batch(texts)
-        outs, mask = self._run(enc)
+        outs, mask = self._run(enc, output_names=output_names)
         return outs[0].astype(np.float32), mask
 
     def _id_to_str_skip(self, tid: int) -> str:

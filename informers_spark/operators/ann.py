@@ -23,15 +23,30 @@ def _expr_vec(vals) -> Column:
     converts element-by-element over py4j (~0.8 ms/element — 1.6 s of DRIVER
     time for a 32x64 plane matrix, paid per query construction), F.expr
     parses the identical literal in ~2 ms. Python float repr round-trips,
-    so values are bit-identical to the F.lit form."""
-    return F.expr("array(" + ",".join(f"{float(x)}D" for x in vals) + ")")
+    so values are bit-identical to the F.lit form. Non-finite elements
+    (NaN centroids from NaN embeddings) would render as unparseable
+    'nan'/'inf' tokens — rejected up front with a real message instead of
+    a SQL parse error (ADVICE r4)."""
+    return F.expr("array(" + ",".join(_d(x) for x in vals) + ")")
+
+
+def _d(x) -> str:
+    import math
+
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(
+            f"non-finite vector element {x!r}: clean NaN/Inf embeddings "
+            "before deriving centroids/planes (they cannot be plan literals)"
+        )
+    return f"{x}D"
 
 
 def _expr_matrix(rows) -> Column:
     """array<array<double>> literal, same rationale as _expr_vec."""
     return F.expr(
         "array("
-        + ",".join("array(" + ",".join(f"{float(x)}D" for x in r) + ")" for r in rows)
+        + ",".join("array(" + ",".join(_d(x) for x in r) + ")" for r in rows)
         + ")"
     )
 

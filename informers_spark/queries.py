@@ -250,8 +250,10 @@ def q_approx_distinct(spark, sf_dir):
     values are engine-specific (DuckDB cannot reproduce Spark's
     registers), so instead of rows-only the query emits per-group
     (exact_parts, within_tol) where within_tol asserts the approx is
-    within 5% relative error of the exact distinct count (Spark's
-    default HLL rsd). DuckDB recomputes exact_parts and pins
+    within 15% relative error of the exact distinct count — 3x Spark's
+    default HLL rsd of 0.05, because rsd is a STANDARD DEVIATION, not a
+    bound: a 5% gate would deterministically fail on some datasets
+    (ADVICE r4). DuckDB recomputes exact_parts and pins
     within_tol=TRUE — a real value-hash gate on both the exact count
     and the sketch's accuracy contract."""
     li = _t(spark, sf_dir, "lineitem")
@@ -267,7 +269,7 @@ def q_approx_distinct(spark, sf_dir):
             (
                 F.abs(F.col("_approx") - F.col("exact_parts"))
                 / F.col("exact_parts")
-                <= 0.05
+                <= 0.15
             ).alias("within_tol"),
         )
         .orderBy("l_returnflag")
@@ -328,14 +330,25 @@ WHERE rn <= 3
 
 
 def q_anti_join_customers(spark, sf_dir):
+    """Customers with no order above 300k. The filter is what makes the
+    oracle DISCRIMINATE: every customer has at least one order in this
+    testdata, so the unfiltered anti-join returns 0 rows and rows/hash
+    checks pass trivially (VERDICT r4). 300k → 30 rows at the sf0.01
+    gate, 308 at sf0.1."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
 
 
 Q_ANTI_SQL = """
 SELECT c_custkey FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+ORDER BY c_custkey
 """
 
 
@@ -745,11 +758,15 @@ ORDER BY doc_id
 
 
 def q_jaccard_sample(spark, sf_dir):
-    """Brute-force exact 3-gram Jaccard over a small id range (the
-    correctness baseline for the LSH path)."""
+    """Brute-force exact 3-gram Jaccard over a deterministic 1/3 id
+    sample (the correctness baseline for the LSH path). doc_id % 3
+    instead of a low-id range: the corpus plants near-dup pairs at
+    RANDOM id positions, so the old `doc_id < 40` window caught none
+    and the oracle passed on empty sets (VERDICT r4); the modulo sample
+    spans the id space — 3 pairs at the sf0.01 gate, 64 at sf0.1."""
     from informers_spark.functions.similarity import jaccard, shingle_fingerprints
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     base = docs.select(
         F.col("doc_id").alias("id"), shingle_fingerprints(F.col("text")).alias("fps")
     )
@@ -775,7 +792,7 @@ def _jaccard_sample_sql() -> str:
     return f"""
 WITH fpset AS (
   SELECT doc_id AS id, {shingle} AS fps
-  FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents WHERE doc_id < 40)
+  FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents WHERE doc_id % 3 = 0)
 )
 SELECT a.id AS a, b.id AS b,
        ROUND(len(list_intersect(a.fps, b.fps))::DOUBLE / len(list_distinct(list_concat(a.fps, b.fps)))::DOUBLE, 6) AS jac

@@ -54,6 +54,89 @@ def test_embed_cls_pooling_differs(spark):
     assert mean_v != cls_v
 
 
+def test_embed_pooling_none_token_vectors(spark):
+    # reference feature-extraction DEFAULT (pipelines.rb:824): no pooling
+    # → one vector per token. Spark deviation (documented in embed.py):
+    # per-row REAL tokens only, so results don't depend on batch padding.
+    df = _df(spark, ["alpha beta gamma", "delta"])
+    rows = embed(df, pooling="none", do_normalize=False, backend="hash").orderBy("id").collect()
+    assert len(rows[0].embedding) == 3  # 3 tokens -> 3 vectors
+    assert len(rows[1].embedding) == 1
+    assert len(rows[0].embedding[0]) == 64
+    # mean of the token vectors == the mean-pooling path (mask all-ones)
+    mean_v = embed(df, pooling="mean", do_normalize=False, backend="hash").orderBy("id").collect()
+    toks = rows[0].embedding
+    manual = [sum(t[k] for t in toks) / len(toks) for k in range(64)]
+    assert manual == pytest.approx(list(mean_v[0].embedding), abs=1e-5)
+
+
+def test_embed_pooling_none_batch_invariant(spark):
+    # one row alone vs batched with a much longer neighbor: identical
+    # output (the padded-tensor dependence the reference has is the
+    # non-determinism we deliberately drop)
+    solo = embed(_df(spark, ["short text"]), pooling="none", do_normalize=False,
+                 backend="hash").collect()[0].embedding
+    batched = embed(_df(spark, ["short text", "a much longer sentence " * 20]),
+                    pooling="none", do_normalize=False, backend="hash"
+                    ).orderBy("id").collect()[0].embedding
+    assert solo == batched
+
+
+def test_embed_model_output_sentence_embedding(spark):
+    # arctic-style named pooled output (test/model_test.rb:155-158):
+    # model_output "sentence_embedding" + pooling "none" → array<float>,
+    # equal to the hash backend's mean-pooled twin
+    df = _df(spark, ["alpha beta gamma"])
+    named = embed(df, pooling="none", model_output="sentence_embedding",
+                  do_normalize=False, backend="hash").collect()[0].embedding
+    mean_v = embed(df, pooling="mean", do_normalize=False, backend="hash").collect()[0].embedding
+    assert list(named) == pytest.approx(list(mean_v), abs=1e-6)
+
+
+def test_embed_model_output_token_embeddings_cls(spark):
+    # arctic's second calling convention (model_test.rb:160):
+    # model_output "token_embeddings" + pooling "cls"
+    df = _df(spark, ["alpha beta gamma"])
+    named = embed(df, pooling="cls", model_output="token_embeddings",
+                  do_normalize=False, backend="hash").collect()[0].embedding
+    plain = embed(df, pooling="cls", do_normalize=False, backend="hash").collect()[0].embedding
+    assert list(named) == list(plain)
+
+
+def test_embed_legacy_minilm_auto_switch(spark):
+    # backend declaring ["token_embeddings"] + pooling mean + normalize
+    # auto-switches to the sentence_embedding output with no pooling and
+    # no normalize (pipelines.rb:839-845); for the hash backend the
+    # sentence_embedding twin IS mean pooling, so the switched path must
+    # equal mean WITHOUT normalize — i.e. the switch observably skips
+    # the normalize step
+    df = _df(spark, ["alpha beta gamma"])
+    switched = embed(df, pooling="mean", do_normalize=True, backend="hash",
+                     backend_opts={"declared_output_names": ("token_embeddings",)}
+                     ).collect()[0].embedding
+    unnormalized = embed(df, pooling="mean", do_normalize=False,
+                         backend="hash").collect()[0].embedding
+    assert list(switched) == pytest.approx(list(unnormalized), abs=1e-6)
+    norm = sum(x * x for x in switched)
+    assert norm != pytest.approx(1.0, abs=1e-3)
+
+
+def test_embed_bad_options_raise(spark):
+    df = _df(spark, ["x"])
+    with pytest.raises(ValueError, match="Pooling method"):
+        embed(df, pooling="max")
+    with pytest.raises(ValueError, match="quantize"):
+        embed(df, pooling="none", quantize="binary")
+    # unknown named output raises inside the UDF (reference
+    # unexpected-outputs Error, pipelines.rb:850-852)
+    import py4j.protocol
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
+        embed(df, pooling="none", model_output="nope", pooled_output=True,
+              backend="hash").collect()
+
+
 def test_classify_sentiment_fixture(spark):
     # reference: "I love transformers!" → POSITIVE (pipeline_test.rb:27-42)
     out = classify(_df(spark, ["I love transformers!"]), backend="hash").collect()[0]
