@@ -1359,6 +1359,32 @@ def q_embed_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_embed_tokens_docs(spark, sf_dir):
+    """Feature-extraction at its reference DEFAULT pooling "none"
+    (pipelines.rb:824): one vector per real token, flattened via
+    posexplode to (doc_id, tok_idx, dim, vec_csv) rows — rank-2 rows the
+    driver hash handles like q_embed_docs. max_tokens=16 bounds the
+    fixture size; per-row output is batch-invariant by design (embed.py
+    module doc), which is what makes a frozen oracle valid at all."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id", "text")
+    out = embed(
+        docs, pooling="none", do_normalize=False, backend="hash",
+        backend_opts={"max_tokens": 16}, out_col="tok_vecs",
+    )
+    return (
+        out.select("doc_id", F.posexplode("tok_vecs").alias("tok_idx", "vec"))
+        .select(
+            "doc_id",
+            "tok_idx",
+            F.size("vec").alias("dim"),
+            F.array_join(
+                F.transform(F.col("vec"), lambda x: F.format_string("%.5f", x.cast("double"))), ","
+            ).alias("vec_csv"),
+        )
+        .orderBy("doc_id", "tok_idx")
+    )
+
+
 def q_generate_docs(spark, sf_dir):
     """Greedy text2text generation over documents (deterministic decoder;
     loop semantics per models.rb:214-349, GreedySampler
@@ -1644,64 +1670,8 @@ ORDER BY doc_id, start
 # green in BOTH r01 and r02 sit at the tail, where falling past the cap
 # costs the least signal.
 QUERIES = {
-    # -- r2-green queries that fell past the r3 cap (VERDICT r03 task 2):
-    # lead so every oracle query has a driver row from r2∪r3∪r4 --
-    "q_fill_mask_docs": q_fill_mask_docs,
-    "q_embed_binary_docs": q_embed_binary_docs,
-    "q_rollup_lineitem": q_rollup_lineitem,
-    "q_pivot_status": q_pivot_status,
-    "q_distinct_parts": q_distinct_parts,
-    "q_approx_distinct": q_approx_distinct,
-    "q_anti_join_customers": q_anti_join_customers,
-    "q_semi_join_parts": q_semi_join_parts,
-    "q_events_json": q_events_json,
-    "q_top_events": q_top_events,
-    "q_fingerprint": q_fingerprint,
-    "q_jaccard_sample": q_jaccard_sample,
-    # -- new in r04 --
-    "q_knn_ivf_df": q_knn_ivf_df,
-    # -- code touched in r04 (two-phase skew guard, first-band fix,
-    # IVF docstring/variant): must re-verify this round --
-    "q_minhash_pairs": q_minhash_pairs,
-    "q_minhash_pairs_fast": q_minhash_pairs_fast,
-    "q_simhash": q_simhash,
-    "q_simhash_neardup": q_simhash_neardup,
-    "q_dedup_corpus": q_dedup_corpus,
-    "q_embedding_neardup": q_embedding_neardup,
-    "q_knn_lsh": q_knn_lsh,
-    "q_knn_ivf": q_knn_ivf,
-    # -- headline/flagship + core relational (unchanged, keep in-cap) --
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_top_revenue_orders": q3_top_revenue_orders,
-    "q5_revenue_by_nation": q5_revenue_by_nation,
-    "q_cube_lineitem": q_cube_lineitem,
-    "q_asof_join": q_asof_join,
-    "q_window_top_orders": q_window_top_orders,
-    "q_events_sessionize": q_events_sessionize,
-    "q_token_count": q_token_count,
-    "q_exact_dedup": q_exact_dedup,
-    "q_quality_score": q_quality_score,
-    "q_lang_id": q_lang_id,
-    "q_kw_mentions": q_kw_mentions,
-    "q_knn_bruteforce": q_knn_bruteforce,
-    "q_lsh_buckets": q_lsh_buckets,
-    "q_centroids": q_centroids,
-    "q_range_join_events": q_range_join_events,
-    "q_cc_components": q_cc_components,
-    "q_classify_docs": q_classify_docs,
-    "q_zero_shot_docs": q_zero_shot_docs,
-    "q_zero_shot_multi": q_zero_shot_multi,
-    "q_rerank_docs": q_rerank_docs,
-    "q_embed_docs": q_embed_docs,
-    "q_ner_docs": q_ner_docs,
-    "q_qa_docs": q_qa_docs,
-    "q_classify_topk": q_classify_topk,
-    "q_generate_docs": q_generate_docs,
-    "q_stream_window": q_stream_window,
-    "q_image_classify_all": q_image_classify_all,
-    "q_zero_shot_detect": q_zero_shot_detect,
-    # -- tail (past the 50-row cap): r3-green, code UNCHANGED in r4 —
-    # falling out costs the least signal --
+    # -- r3-green vision/audio tail rotated back in (VERDICT r04 open
+    # item 5): their last driver row is two rounds old --
     "q_image_embed": q_image_embed,
     "q_image_segment": q_image_segment,
     "q_depth_docs": q_depth_docs,
@@ -1715,6 +1685,67 @@ QUERIES = {
     "q_image_classify": q_image_classify,
     "q_zero_shot_image": q_zero_shot_image,
     "q_object_detect": q_object_detect,
+    # -- new in r05 (pooling "none" feature-extraction) --
+    "q_embed_tokens_docs": q_embed_tokens_docs,
+    # -- queries whose code or predicate changed in r05: embed() rework
+    # (model_output/auto-switch touch every embed path), the
+    # discriminating anti-join/jaccard predicates, the approx-distinct
+    # tolerance, and the spread_scan leaf-scan guard under every
+    # dedup/ANN scan --
+    "q_embed_docs": q_embed_docs,
+    "q_embed_binary_docs": q_embed_binary_docs,
+    "q_anti_join_customers": q_anti_join_customers,
+    "q_jaccard_sample": q_jaccard_sample,
+    "q_approx_distinct": q_approx_distinct,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_minhash_pairs_fast": q_minhash_pairs_fast,
+    "q_simhash": q_simhash,
+    "q_simhash_neardup": q_simhash_neardup,
+    "q_dedup_corpus": q_dedup_corpus,
+    "q_embedding_neardup": q_embedding_neardup,
+    "q_knn_bruteforce": q_knn_bruteforce,
+    "q_knn_lsh": q_knn_lsh,
+    "q_knn_ivf": q_knn_ivf,
+    "q_knn_ivf_df": q_knn_ivf_df,
+    "q_lsh_buckets": q_lsh_buckets,
+    "q_centroids": q_centroids,
+    "q_exact_dedup": q_exact_dedup,
+    # -- headline/flagship + operators whose only driver row would
+    # otherwise age: keep in-cap --
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_revenue_by_nation": q5_revenue_by_nation,
+    "q_cube_lineitem": q_cube_lineitem,
+    "q_asof_join": q_asof_join,
+    "q_window_top_orders": q_window_top_orders,
+    "q_events_sessionize": q_events_sessionize,
+    "q_range_join_events": q_range_join_events,
+    "q_cc_components": q_cc_components,
+    "q_stream_window": q_stream_window,
+    "q_classify_docs": q_classify_docs,
+    "q_zero_shot_docs": q_zero_shot_docs,
+    "q_zero_shot_multi": q_zero_shot_multi,
+    "q_rerank_docs": q_rerank_docs,
+    "q_ner_docs": q_ner_docs,
+    "q_qa_docs": q_qa_docs,
+    "q_fill_mask_docs": q_fill_mask_docs,
+    "q_classify_topk": q_classify_topk,
+    "q_generate_docs": q_generate_docs,
+    "q_image_classify_all": q_image_classify_all,
+    "q_zero_shot_detect": q_zero_shot_detect,
+    # -- tail (past the ~50-row cap): green in BOTH r2/r3 and r4, code
+    # UNCHANGED in r5 — falling out costs the least signal --
+    "q_token_count": q_token_count,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_kw_mentions": q_kw_mentions,
+    "q_rollup_lineitem": q_rollup_lineitem,
+    "q_pivot_status": q_pivot_status,
+    "q_distinct_parts": q_distinct_parts,
+    "q_semi_join_parts": q_semi_join_parts,
+    "q_events_json": q_events_json,
+    "q_top_events": q_top_events,
+    "q_fingerprint": q_fingerprint,
 }
 
 ORACLE_SQL = {
@@ -1779,6 +1810,7 @@ FIXTURE_DIR = _os.path.normpath(
 )
 FIXTURE_QUERIES = [
     "q_embed_docs",
+    "q_embed_tokens_docs",
     "q_embed_binary_docs",
     "q_qa_docs",
     "q_fill_mask_docs",
