@@ -87,8 +87,13 @@ _OUT_OF_SCOPE = {
 }
 
 
-def pipeline(task: str, backend: str = "auto", **defaults):
-    """→ a DataFrame transform fn(df, **overrides) for the task."""
+def pipeline(task: str, backend: str = "auto", progress_callback=None, **defaults):
+    """→ a DataFrame transform fn(df, **overrides) for the task.
+
+    progress_callback: receives the reference's "ready" event once the
+    transform is constructed (pipelines.rb:1417-1421); file-level
+    initiate/download/progress/done events flow from sources.hub when a
+    backend resolves model files through it."""
     task = TASK_ALIASES.get(task, task)
     if task in SUPPORTED_TASKS:
         fn = SUPPORTED_TASKS[task]
@@ -98,6 +103,13 @@ def pipeline(task: str, backend: str = "auto", **defaults):
             return fn(df, backend=backend, **merged)
 
         transform.task = task
+        from informers_spark.sources.hub import dispatch_callback
+
+        dispatch_callback(
+            progress_callback,
+            {"status": "ready", "task": task,
+             "model": defaults.get("backend_opts", {}).get("model_dir", backend)},
+        )
         return transform
     if task in _OUT_OF_SCOPE:
         raise NotImplementedError(

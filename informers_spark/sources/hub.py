@@ -26,6 +26,12 @@ remote_host = "https://huggingface.co/"
 remote_path_template = "{model}/resolve/{revision}"
 
 
+def dispatch_callback(progress_callback, data: dict) -> None:
+    """utils/core.rb:3-7 — call the callback with an event dict if set."""
+    if progress_callback is not None:
+        progress_callback(data)
+
+
 def default_cache_dir() -> str:
     return os.environ.get(
         "INFORMERS_SPARK_CACHE",
@@ -65,6 +71,7 @@ def get_model_file(
     cache_dir: str | None = None,
     revision: str = "main",
     local_files_only: bool = False,
+    progress_callback=None,
 ) -> str | None:
     """→ local filesystem path of the resolved file.
 
@@ -75,10 +82,24 @@ def get_model_file(
     3. remote download → cache put (skipped when local_files_only or
        allow_remote_models is False; fatal=False returns None instead of
        raising, the reference's optional-file path, hub.rb:168-177)
+
+    progress_callback receives the reference's event dicts
+    (hub.rb:119-124 initiate, get_file's download/progress at :56-64,
+    :207-212 done with cache_hit). DRIVER-side only — executors read
+    pre-staged dirs and never call this.
     """
+    dispatch_callback(
+        progress_callback,
+        {"status": "initiate", "name": path_or_repo_id, "file": filename},
+    )
     if allow_local_models:
         local = os.path.join(path_or_repo_id, filename)
         if os.path.exists(local):
+            dispatch_callback(
+                progress_callback,
+                {"status": "done", "name": path_or_repo_id, "file": filename,
+                 "cache_hit": True},
+            )
             return local
     cache = FileCache(cache_dir or default_cache_dir())
     fs_cache_key = (
@@ -88,6 +109,11 @@ def get_model_file(
     )
     hit = cache.match(fs_cache_key)
     if hit is not None:
+        dispatch_callback(
+            progress_callback,
+            {"status": "done", "name": path_or_repo_id, "file": filename,
+             "cache_hit": True},
+        )
         return hit
     if local_files_only or not allow_remote_models:
         if fatal:
@@ -110,12 +136,38 @@ def get_model_file(
         from urllib.request import urlopen
 
         with urlopen(url, timeout=60) as resp:  # driver-side only
-            data = resp.read()
+            # streamed read with the reference's download/progress events
+            # (hub.rb get_file content_length_proc/progress_proc, :56-64)
+            info = {"name": path_or_repo_id, "file": filename}
+            total = resp.headers.get("Content-Length")
+            total = int(total) if total else None
+            dispatch_callback(
+                progress_callback,
+                {"status": "download", **info, "total_size": total},
+            )
+            chunks, got = [], 0
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                chunks.append(chunk)
+                got += len(chunk)
+                dispatch_callback(
+                    progress_callback,
+                    {"status": "progress", **info, "size": got, "total_size": total},
+                )
+            data = b"".join(chunks)
     except Exception as e:  # no network / 404
         if fatal:
             raise FileNotFoundError(f"could not resolve {url}: {e}") from e
         return None
-    return cache.put(fs_cache_key, data)
+    path = cache.put(fs_cache_key, data)
+    dispatch_callback(
+        progress_callback,
+        {"status": "done", "name": path_or_repo_id, "file": filename,
+         "cache_hit": False},
+    )
+    return path
 
 
 def get_model_json(

@@ -64,3 +64,70 @@ def test_put_is_atomic_no_incomplete_left(tmp_path):
     p = cache.put("a/b/c.bin", b"xyz")
     assert open(p, "rb").read() == b"xyz"
     assert not os.path.exists(p + ".incomplete")
+
+
+def test_progress_callback_cache_hit_events(tmp_path):
+    # initiate → done(cache_hit: true) for a cached file (hub.rb:119-124,
+    # :207-212)
+    cache = hub.FileCache(str(tmp_path / "cache"))
+    cache.put("org/repo/config.json", b"{}")
+    events = []
+    hub.get_model_file(
+        "org/repo", "config.json", cache_dir=str(tmp_path / "cache"),
+        local_files_only=True, progress_callback=events.append,
+    )
+    assert [e["status"] for e in events] == ["initiate", "done"]
+    assert events[0]["name"] == "org/repo" and events[0]["file"] == "config.json"
+    assert events[1]["cache_hit"] is True
+
+
+def test_progress_callback_download_events(tmp_path, monkeypatch):
+    # fake a streamed remote: download → progress* → done(cache_hit: false)
+    # (hub.rb get_file :56-64)
+    import io
+
+    class FakeResp(io.BytesIO):
+        headers = {"Content-Length": "4"}
+
+        def __init__(self):
+            super().__init__(b"data")
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def get(self, k, default=None):  # pragma: no cover
+            return self.headers.get(k, default)
+
+    class H(dict):
+        def get(self, k, d=None):
+            return {"Content-Length": "4"}.get(k, d)
+
+    resp = FakeResp()
+    resp.headers = H()
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlopen", lambda *a, **k: resp)
+    events = []
+    got = hub.get_model_file(
+        "org/repo2", "model.bin", cache_dir=str(tmp_path / "cache"),
+        progress_callback=events.append,
+    )
+    assert got and open(got, "rb").read() == b"data"
+    statuses = [e["status"] for e in events]
+    assert statuses[0] == "initiate" and statuses[1] == "download"
+    assert "progress" in statuses and statuses[-1] == "done"
+    prog = [e for e in events if e["status"] == "progress"][-1]
+    assert prog["size"] == 4 and prog["total_size"] == 4
+    assert events[-1]["cache_hit"] is False
+
+
+def test_pipeline_ready_callback():
+    from informers_spark.api import pipeline
+
+    events = []
+    fn = pipeline("embedding", backend="hash", progress_callback=events.append)
+    assert callable(fn)
+    assert events == [{"status": "ready", "task": "embedding", "model": "hash"}]
