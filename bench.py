@@ -52,6 +52,8 @@ HEADLINE = [
     "q_generate_penalized",
     # new in r4
     "q_knn_ivf_df",
+    # new in r5
+    "q_embed_tokens_docs",
 ]
 
 
