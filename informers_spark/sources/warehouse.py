@@ -199,5 +199,8 @@ class Warehouse:
 
     def is_complete(self, name: str) -> bool:
         """A stage can be skipped on resume iff its manifest exists (the
-        manifest is written only after a successful write)."""
-        return self.manifest(name) is not None
+        manifest is written only after a successful write) AND the data
+        directory is still there — an operator clearing a stage dir by
+        hand (without its sibling manifest) must trigger recompute, not
+        a PATH_NOT_FOUND crash on the resume read."""
+        return self.manifest(name) is not None and os.path.isdir(self._path(name))
