@@ -562,3 +562,50 @@ def test_mask_generation_checkpoint_loads_session_pair(tmp_path, monkeypatch):
         sys.modules.pop("informers_spark.backend.onnx_backend", None)
         if hasattr(_bk, "onnx_backend"):
             delattr(_bk, "onnx_backend")
+
+
+def test_onnx_encode_output_names_passthrough_and_validation(monkeypatch):
+    # offline wiring test for the model_output path (pipelines.rb:836-852):
+    # encode(output_names=...) must forward the names to session.run and
+    # reject undeclared names like the reference's unexpected-outputs
+    # Error — onnxruntime is absent here, so stub the module and build
+    # the backend shell via __new__ (no session construction)
+    import sys
+    import types
+
+    for mod in ("onnxruntime", "tokenizers"):
+        if mod not in sys.modules:
+            stub = types.ModuleType(mod)
+            if mod == "tokenizers":
+                stub.Tokenizer = object
+            monkeypatch.setitem(sys.modules, mod, stub)
+    from informers_spark.backend.onnx_backend import OnnxBackend
+
+    class Enc:
+        ids = [1, 2]
+        attention_mask = [1, 1]
+        type_ids = [0, 0]
+
+    class Tok:
+        def encode_batch(self, texts):
+            return [Enc() for _ in texts]
+
+    captured = {}
+
+    class Sess:
+        def run(self, output_names, feed):
+            captured["names"] = output_names
+            return [np.zeros((len(feed["input_ids"]), 2), dtype=np.float32)]
+
+    be = OnnxBackend.__new__(OnnxBackend)
+    be.tokenizer = Tok()
+    be.session = Sess()
+    be._input_names = {"input_ids", "attention_mask"}
+    be._output_names = ["logits", "sentence_embedding"]
+
+    out, mask = be.encode(["x"], output_names=["sentence_embedding"])
+    assert captured["names"] == ["sentence_embedding"]
+    assert out.shape == (1, 2) and mask.shape == (1, 2)
+
+    with pytest.raises(ValueError, match="unexpected outputs"):
+        be.encode(["x"], output_names=["nope"])

@@ -225,3 +225,15 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     assert got == want and len(got) == 1000
     spark.sql("DROP TABLE IF EXISTS bk_mentions")
     spark.sql("DROP TABLE IF EXISTS bk_embeddings")
+
+
+def test_embed_pooling_none_runs_on_scan_partitioning(spark):
+    # the token-level feature-extraction path (pooling "none") is one
+    # mapInPandas over the scan — no exchange between scan and UDF, and
+    # only the consumed columns read
+    from informers_spark.pipelines.embed import embed
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = _plan(embed(docs, pooling="none", do_normalize=False, backend="hash"))
+    seg = _scan_to_udf(plan)
+    assert "Scan parquet" in seg and "Exchange" not in seg
