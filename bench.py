@@ -84,6 +84,18 @@ def main():
     # hypervisor CPU steal (BENCH/BASELINE.md) — a single run mixes our
     # cost with neighbor noise (observed 3.6x run-to-run spread on q1)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+    # host-noise canary: one single-shot q1 before and after the sweep.
+    # On a quiet host the two agree within ~20%; a large spread means the
+    # snapshot overlapped foreign-tenant load / hypervisor steal and
+    # per-query numbers should be read against same-session minima only.
+    def _canary():
+        t0 = time.time()
+        QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+        return round(time.time() - t0, 3)
+
+    canary_first = _canary()
+
     queries: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -96,6 +108,8 @@ def main():
         queries[name] = round(best, 3)
         print(f"  {name}: {queries[name]}s min-of-{reps} ({n} rows)", file=sys.stderr)
 
+    canary_last = _canary()
+
     result = {
         "metric": "total_headline_sec",
         "value": round(sum(queries.values()), 3),
@@ -103,6 +117,13 @@ def main():
         "queries": queries,
         "sf": sf,
         "cores": cores,
+        "canary": {
+            "q1_first": canary_first,
+            "q1_last": canary_last,
+            "spread": round(
+                max(canary_first, canary_last) / max(min(canary_first, canary_last), 1e-9), 2
+            ),
+        },
     }
 
     if not os.environ.get("SPARK_GRAFT_SKIP_KG"):

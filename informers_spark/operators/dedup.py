@@ -21,58 +21,10 @@ from informers_spark.functions.similarity import (
     simhash,
 )
 from informers_spark.functions.text import fingerprint
-
-
-# logical nodes a plain (possibly projected/filtered/limited) scan may
-# contain; anything else (Join/Aggregate/Repartition/Window/...) marks a
-# DERIVED input whose parallelism AQE already manages
-_NARROW_SCAN_NODES = frozenset(
-    {
-        "LogicalRelation", "DataSourceV2Relation", "DataSourceV2ScanRelation",
-        "LocalRelation", "LogicalRDD",  # createDataFrame / localCheckpoint
-        "Project", "Filter", "SubqueryAlias", "View",
-        "GlobalLimit", "LocalLimit",
-    }
+from informers_spark.rebalance import (  # noqa: F401  (re-export)
+    _is_narrow_scan,
+    spread_scan,
 )
-
-
-def _is_narrow_scan(df: DataFrame) -> bool:
-    """True iff the analyzed plan is a leaf scan plus narrow ops only —
-    the shapes whose partition count is fixed by file splits rather than
-    by AQE. Conservative on introspection failure (treat as derived)."""
-    try:
-        stack = [df._jdf.queryExecution().analyzed()]
-        while stack:
-            node = stack.pop()
-            if node.nodeName() not in _NARROW_SCAN_NODES:
-                return False
-            children = node.children()
-            for i in range(children.size()):
-                stack.append(children.apply(i))
-        return True
-    except Exception:
-        return False
-
-
-def spread_scan(df: DataFrame) -> DataFrame:
-    """Conditional rebalance ahead of a compute-heavy per-row fold: when
-    a LEAF SCAN yields fewer partitions than the cluster's default
-    parallelism (single-row-group files — the bench-scale shape; a 100-TB
-    corpus scan is already thousands of splits), repartition so the fold
-    uses every core instead of serializing into one task (measured: the
-    sf0.1 documents scan is ONE partition, putting the whole MinHash
-    per-char fold on one core). Strict no-op — no shuffle, and no
-    driver-side RDD conversion — for derived inputs (joins/aggregates/
-    explicit repartitions), whose parallelism AQE already sets: the r4
-    version unconditionally called df.rdd.getNumPartitions() (bypassing
-    AQE estimates) and could round-robin-shuffle a full already-shuffled
-    payload (ADVICE r4)."""
-    if not _is_narrow_scan(df):
-        return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def drop_oversized_buckets(

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from informers_spark.rebalance import spread_scan
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -107,7 +109,7 @@ def media_from_documents(
                 rows, columns=[id_col, "payload", "width", "height", "sample_rate"]
             )
 
-    return df.select(id_col).mapInPandas(gen, schema=schema)
+    return spread_scan(df.select(id_col)).mapInPandas(gen, schema=schema)
 
 
 def validate_media(
@@ -144,7 +146,7 @@ def validate_media(
             out["decode_ok"] = ok
             yield out
 
-    probed = df.mapInPandas(probe, schema=schema)
+    probed = spread_scan(df).mapInPandas(probe, schema=schema)
     if keep_bad:
         return probed
     return probed.filter(F.col("decode_ok")).drop("decode_ok")
@@ -218,7 +220,7 @@ def extract_image_features(
             out["features"] = feats
             yield out
 
-    return df.mapInPandas(run, schema=schema)
+    return spread_scan(df).mapInPandas(run, schema=schema)
 
 
 def sample_video_frames(

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from informers_spark.functions.kernels import get_top_items, softmax
+from informers_spark.rebalance import spread_scan
 from informers_spark.functions.vision import zero_mean_unit_var
 from informers_spark.pipelines.vision import _base_tuples
 
@@ -85,7 +86,7 @@ def audio_classify(
                 )
             yield pd.DataFrame(rows, columns=keep_names + ["label", "score", "rank"])
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)
 
 
 def zero_shot_audio_classify(
@@ -128,7 +129,7 @@ def zero_shot_audio_classify(
                 )
             yield pd.DataFrame(rows, columns=keep_names + ["label", "score"])
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)
 
 
 def text_to_audio(
@@ -166,4 +167,4 @@ def text_to_audio(
             out["n_samples"] = [len(w) for w in waves]
             yield out
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)

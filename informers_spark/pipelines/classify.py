@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from informers_spark.functions.kernels import sigmoid, softmax
+from informers_spark.rebalance import spread_scan
 
 
 def classify(
@@ -78,7 +79,7 @@ def classify(
             out["rank"] = np.tile(np.arange(1, k + 1, dtype=np.int32), len(pdf))
             yield out
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)
 
 
 def zero_shot(
@@ -144,7 +145,7 @@ def zero_shot(
             pdf["pair_score"] = two[:, 1].astype(float)
             yield pdf
 
-    scored = pairs.mapInPandas(infer, schema=schema)
+    scored = spread_scan(pairs).mapInPandas(infer, schema=schema)
 
     if multi_label or len(labels) == 1:
         slim = scored.select(

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from informers_spark.functions.kernels import mean_pooling, normalize
+from informers_spark.rebalance import spread_scan
 
 # named outputs that are already pooled [batch, dim] (arctic's
 # sentence_embedding, test/model_test.rb:155-158); used only as the
@@ -148,7 +149,7 @@ def embed(
             pdf[out_col] = out
             yield pdf
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)
 
 
 def _finish(pooled: np.ndarray, do_normalize: bool, quantize: str | None) -> np.ndarray:

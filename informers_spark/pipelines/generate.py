@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from informers_spark.rebalance import spread_scan
 from informers_spark.functions.generation import (
     apply_temperature,
     beam_sample,
@@ -192,7 +193,7 @@ def generate_text(
             out[out_col] = pd.Series(decoded, dtype=object)
             yield out
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)
 
 
 def summarize(df: DataFrame, text_col: str = "text", **kwargs) -> DataFrame:

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from informers_spark.functions.kernels import group_entities, softmax
+from informers_spark.rebalance import spread_scan
 
 MENTION_FIELDS = [
     T.StructField("entity_group", T.StringType()),
@@ -141,4 +142,4 @@ def ner(
                 out["index"] = np.asarray(m_out["index"], dtype=np.int32)
             yield out
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from informers_spark.functions.kernels import softmax
+from informers_spark.rebalance import spread_scan
 
 
 def question_answering(
@@ -99,7 +100,7 @@ def question_answering(
             out["answer_end"] = np.asarray(ends, dtype=np.int32)
             yield out
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)
 
 
 def fill_mask(
@@ -149,4 +150,4 @@ def fill_mask(
             out["sequence"] = pd.Series(seqs, dtype=object)
             yield out
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from informers_spark.functions.kernels import sigmoid
+from informers_spark.rebalance import spread_scan
 
 
 def rerank(
@@ -51,7 +52,7 @@ def rerank(
             pdf["score"] = sigmoid(logits).astype("float32")
             yield pdf
 
-    scored = df.mapInPandas(infer, schema=schema)
+    scored = spread_scan(df).mapInPandas(infer, schema=schema)
     keys = group_cols if group_cols is not None else [query_col]
     # tie-break: score desc, doc text asc, then EVERY remaining input
     # column — duplicate texts (the corpus has exact dups by design)

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from informers_spark.functions.kernels import get_top_items, interpolate, softmax
+from informers_spark.rebalance import spread_scan
 from informers_spark.functions.vision import (
     compute_segments,
     get_bounding_box,
@@ -127,7 +128,7 @@ def image_classify(
                     rows.append(base + (id2label[idx], float(s)))
             yield pd.DataFrame(rows, columns=keep_names + [f.name for f in extra])
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)
 
 
 def image_feature_extract(
@@ -159,7 +160,7 @@ def image_feature_extract(
             out["features"] = list(emb)
             yield out
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)
 
 
 def zero_shot_image_classify(
@@ -213,7 +214,7 @@ def zero_shot_image_classify(
                 )
             yield pd.DataFrame(rows, columns=keep_names + ["label", "score", "rank"])
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)
 
 
 _BOX_FIELDS = [
@@ -293,7 +294,7 @@ def object_detect(
                 rows, columns=keep_names + [f.name for f in _BOX_FIELDS]
             )
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)
 
 
 def zero_shot_object_detect(
@@ -343,7 +344,7 @@ def zero_shot_object_detect(
                 rows, columns=keep_names + [f.name for f in _BOX_FIELDS]
             )
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)
 
 
 def image_segment(
@@ -410,7 +411,7 @@ def image_segment(
                 rows, columns=keep_names + ["label", "score", "pixel_count"]
             )
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)
 
 
 def depth_estimate(
@@ -474,7 +475,7 @@ def depth_estimate(
                 columns=keep_names + ["depth_h", "depth_w", "depth_mean", "depth_max"],
             )
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)
 
 
 def image_to_image(
@@ -526,7 +527,7 @@ def image_to_image(
                 rows, columns=keep_names + ["out_payload", "out_h", "out_w"]
             )
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)
 
 
 def document_qa(
@@ -585,7 +586,7 @@ def document_qa(
             out["answer"] = answers
             yield out
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)
 
 
 def image_to_text(
@@ -633,4 +634,4 @@ def image_to_text(
             out["generated_text"] = [t.strip() for t in texts]
             yield out
 
-    return df.mapInPandas(infer, schema=schema)
+    return spread_scan(df).mapInPandas(infer, schema=schema)

@@ -1,6 +1,7 @@
 """Physical-plan regression checks: filters reach the parquet scan,
-column pruning applies, small dims broadcast, inference UDFs sit directly
-on the scan (no shuffle before them). These guard the 100-TB posture —
+column pruning applies, small dims broadcast, inference UDFs run at full
+cluster parallelism (one conditional round-robin rebalance over an
+under-partitioned scan, nothing more). These guard the 100-TB posture —
 a plan that silently loses pushdown or broadcast still passes row-count
 tests but dies at scale."""
 
@@ -22,6 +23,23 @@ def _scan_to_udf(plan: str) -> str:
     never catch a shuffle inserted before the UDF."""
     tree = plan.split("\n\n")[0]
     return tree[tree.rfind("MapInPandas"):]
+
+
+def _exchange_args(plan: str, seg: str) -> list[str]:
+    """Arguments line of every Exchange node in the tree segment `seg`
+    (the formatted tree shows only 'Exchange (N)'; the partitioning kind
+    lives in the per-node detail block '(N) Exchange\\n...Arguments:')."""
+    import re
+
+    args = []
+    for node_id in re.findall(r"Exchange \((\d+)\)", seg):
+        m = re.search(
+            rf"^\({node_id}\) Exchange\n(?:.+\n)*?Arguments: (.+)$",
+            plan,
+            re.MULTILINE,
+        )
+        args.append(m.group(1) if m else "")
+    return args
 
 
 SF = "/root/testdata/sf0.001"
@@ -60,15 +78,26 @@ def test_q5_broadcasts_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
-def test_inference_udf_runs_on_scan_partitioning(spark):
-    # embed over documents: plan must be scan → project → ArrowEvalPython/
-    # MapInPandas with NO exchange in between (no shuffle before inference)
+def test_inference_udf_spreads_underpartitioned_scan(spark):
+    # embed over a single-row-group scan: the ONLY exchange between scan
+    # and UDF is the conditional spread_scan round-robin rebalance (the
+    # sf parquet files are one row group → a bare scan would serialize
+    # the whole inference chain onto one core); an input that is already
+    # parallel gets NO additional exchange (spread_scan no-ops on
+    # derived plans)
     from informers_spark.pipelines.embed import embed
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     plan = _plan(embed(docs, backend="hash"))
     seg = _scan_to_udf(plan)
-    assert "Scan parquet" in seg and "Exchange" not in seg
+    assert "Scan parquet" in seg
+    args = _exchange_args(plan, seg)
+    assert len(args) == 1 and "RoundRobinPartitioning" in args[0]
+
+    par = spark.sparkContext.defaultParallelism
+    seg2 = _scan_to_udf(_plan(embed(docs.repartition(par), backend="hash")))
+    # exactly the caller's own repartition — no second exchange stacked on
+    assert seg2.count("Exchange") == 1
 
 
 def test_knn_broadcasts_queries(spark):
@@ -107,13 +136,16 @@ def test_knn_lsh_broadcasts_query_blocks(spark):
     assert "BroadcastHashJoin" in plan  # query side is broadcast
 
 
-def test_generate_udf_runs_on_scan_partitioning(spark):
+def test_generate_udf_spreads_underpartitioned_scan(spark):
     from informers_spark.pipelines.generate import generate_text
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     plan = _plan(generate_text(docs, backend="hash"))
     seg = _scan_to_udf(plan)
-    assert "Scan parquet" in seg and "Exchange" not in seg
+    assert "Scan parquet" in seg
+    # one round-robin rebalance (spread_scan) and nothing else
+    args = _exchange_args(plan, seg)
+    assert len(args) == 1 and "RoundRobinPartitioning" in args[0]
 
 
 def test_vision_query_prunes_scan_and_avoids_exchange(spark):
@@ -127,10 +159,15 @@ def test_vision_query_prunes_scan_and_avoids_exchange(spark):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" in read_schema
     assert "text" not in read_schema
-    # innermost UDF down to the scan: no shuffle under the media gen +
-    # classify mapInPandas pair (the orderBy's Exchange sits above them)
+    # innermost UDF down to the scan: ONE round-robin rebalance under the
+    # media gen + classify mapInPandas pair (spread_scan spreads the
+    # single-row-group id scan before synthesis; the classify stage sees
+    # a derived input and adds nothing; the orderBy's range Exchange sits
+    # above the UDFs, outside this segment)
     seg = _scan_to_udf(plan)
-    assert "Scan parquet" in seg and "Exchange" not in seg
+    assert "Scan parquet" in seg
+    args = _exchange_args(plan, seg)
+    assert len(args) == 1 and "RoundRobinPartitioning" in args[0]
 
 
 def test_knn_ivf_assignment_is_map_only_and_broadcasts_queries(spark):
@@ -227,13 +264,15 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS bk_embeddings")
 
 
-def test_embed_pooling_none_runs_on_scan_partitioning(spark):
+def test_embed_pooling_none_runs_on_spread_scan(spark):
     # the token-level feature-extraction path (pooling "none") is one
-    # mapInPandas over the scan — no exchange between scan and UDF, and
-    # only the consumed columns read
+    # mapInPandas over the (conditionally rebalanced) scan — exactly the
+    # spread_scan round-robin exchange, no hash shuffle
     from informers_spark.pipelines.embed import embed
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     plan = _plan(embed(docs, pooling="none", do_normalize=False, backend="hash"))
     seg = _scan_to_udf(plan)
-    assert "Scan parquet" in seg and "Exchange" not in seg
+    assert "Scan parquet" in seg
+    args = _exchange_args(plan, seg)
+    assert len(args) == 1 and "RoundRobinPartitioning" in args[0]
