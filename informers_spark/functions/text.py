@@ -67,6 +67,22 @@ def quality_score(col: Column) -> Column:
     return (length_score + alpha_ratio + F.least(stop_ratio * 4.0, F.lit(1.0))) / 3.0
 
 
+def repetition_ratio(col: Column, n: int = 2) -> Column:
+    """Fraction of duplicated word n-grams in a document — the
+    Gopher-style repetition quality rule (a doc whose n-grams repeat
+    heavily is boilerplate/spam; pipelines drop rows above a threshold).
+    1 - distinct/total over the same word shingles the MinHash path
+    uses, so one shingle definition exists repo-wide. Pure column
+    expression (codegen'd, map-only — no shuffle, scale-free)."""
+    from informers_spark.functions.similarity import word_shingles
+
+    grams = word_shingles(col, n)
+    total = F.size(grams)
+    return (
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total.cast("double")
+    )
+
+
 def lang_id(col: Column) -> Column:
     """Lexicon-hit language ID: argmax over per-language stopword hit counts,
     ties broken by language code order; no hits → 'und'."""

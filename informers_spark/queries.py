@@ -523,6 +523,134 @@ SELECT doc_id AS id, {_DUCK_FP.format(S="text")} AS fp FROM documents ORDER BY d
 """
 
 
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality rule in audit mode: documents whose
+    duplicated-bigram fraction exceeds 0.05, with the ratio (the corpus
+    plants heavy-repetition docs; p50 of the ratio is ~0.03, so the 0.05
+    cut is discriminating — neither empty nor all-rows). The threshold
+    compares the RAW ratio; rounding is output-only, mirrored in SQL."""
+    from informers_spark.operators.corpus_stats import repetition_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        repetition_filter(docs, n=2, max_ratio=0.05, keep_flagged=True)
+        .filter(F.col("rep_ratio") > 0.05)
+        .select("doc_id", F.round("rep_ratio", 6).alias("rep_ratio"))
+        .orderBy("doc_id")
+    )
+
+
+Q_REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+r AS (
+  SELECT doc_id, 1.0 - len(list_distinct(g))::DOUBLE / len(g)::DOUBLE AS rr
+  FROM (SELECT doc_id,
+          list_transform(generate_series(1, GREATEST(len(t) - 1, 1)),
+                         i -> array_to_string(list_slice(t, i, i + 1), chr(32))) AS g
+        FROM toks)
+)
+SELECT doc_id, ROUND(rr, 6) AS rep_ratio FROM r WHERE rr > 0.05 ORDER BY doc_id
+"""
+
+
+def q_ngram_topk(spark, sf_dir):
+    """Corpus n-gram heavy hitters: top-20 bigrams by frequency (ties by
+    gram asc). Partial-aggregated groupBy — the shuffle carries (gram,
+    partial_count), never documents; the contamination/boilerplate census
+    a training pipeline runs before mixing."""
+    from informers_spark.operators.corpus_stats import ngram_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_topk(docs, n=2, k=20)
+
+
+Q_NGRAM_TOPK_SQL = f"""
+WITH toks AS (SELECT {_DUCK_TOKENS} AS t FROM documents),
+g AS (
+  SELECT unnest(list_transform(generate_series(1, GREATEST(len(t) - 1, 1)),
+                i -> array_to_string(list_slice(t, i, i + 1), chr(32)))) AS gram
+  FROM toks
+)
+SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
+"""
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """Grouped quantile sketch gate: per-lang doc-length quantiles. The
+    PRODUCTION op is percentile_approx (mergeable sketch, rank error
+    <= 1/accuracy — operators/corpus_stats.quantile_sketch); the gate
+    emits the EXACT interpolated percentiles (hash-compared against
+    DuckDB quantile_cont) plus `sketch_ok`: the approx value must land
+    inside the exact [p-0.02, p+0.02] quantile window — 20x the sketch's
+    guaranteed rank error at accuracy=1000, same probabilistic-gate
+    pattern as q_approx_distinct. Exact percentiles buffer per-group
+    values and exist only in this gate, not the production path."""
+    from informers_spark.operators.corpus_stats import quantile_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = quantile_sketch(docs, "n_chars", "lang", ps=(0.5, 0.9), accuracy=1000)
+    eps = 0.02
+    exact = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90"),
+        F.expr(f"percentile(n_chars, {0.5 - eps})").alias("p50_lo"),
+        F.expr(f"percentile(n_chars, {0.5 + eps})").alias("p50_hi"),
+        F.expr(f"percentile(n_chars, {0.9 - eps})").alias("p90_lo"),
+        F.expr(f"percentile(n_chars, {0.9 + eps})").alias("p90_hi"),
+    )
+    return (
+        sk.join(exact, "lang")
+        .select(
+            "lang",
+            "n",
+            F.round("p50", 4).alias("p50"),
+            F.round("p90", 4).alias("p90"),
+            (
+                (F.col("q_0_5") >= F.col("p50_lo"))
+                & (F.col("q_0_5") <= F.col("p50_hi"))
+                & (F.col("q_0_9") >= F.col("p90_lo"))
+                & (F.col("q_0_9") <= F.col("p90_hi"))
+            ).alias("sketch_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_QUANTILE_SKETCH_SQL = """
+SELECT lang, COUNT(*) AS n,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+       ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
+       TRUE AS sketch_ok
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified downsample: keep 10% of 'en', 25% of
+    'zh', 50% of everything else, selected by a portable md5-prefix
+    bucket of doc_id (operators/corpus_stats.sample_bucket) — the same
+    row lands on the same side of the cut under any partitioning, retry,
+    or engine, which rand()-based sampling cannot promise. Map-only."""
+    from informers_spark.operators.corpus_stats import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            docs, "lang", {"en": 0.1, "zh": 0.25}, "doc_id", default_rate=0.5
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+Q_SAMPLE_STRATIFIED_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 10000
+      < CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 2500 ELSE 5000 END
+ORDER BY doc_id
+"""
+
+
 def q_exact_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs).orderBy("keeper")
@@ -1685,8 +1813,13 @@ QUERIES = {
     "q_image_classify": q_image_classify,
     "q_zero_shot_image": q_zero_shot_image,
     "q_object_detect": q_object_detect,
-    # -- new in r05 (pooling "none" feature-extraction) --
+    # -- new in r05 (pooling "none" feature-extraction; corpus-stats /
+    # sampling operators) --
     "q_embed_tokens_docs": q_embed_tokens_docs,
+    "q_repetition_filter": q_repetition_filter,
+    "q_ngram_topk": q_ngram_topk,
+    "q_quantile_sketch": q_quantile_sketch,
+    "q_sample_stratified": q_sample_stratified,
     # -- queries whose code or predicate changed in r05: embed() rework
     # (model_output/auto-switch touch every embed path), the
     # discriminating anti-join/jaccard predicates, the approx-distinct
@@ -1710,18 +1843,10 @@ QUERIES = {
     "q_lsh_buckets": q_lsh_buckets,
     "q_centroids": q_centroids,
     "q_exact_dedup": q_exact_dedup,
-    # -- headline/flagship + operators whose only driver row would
-    # otherwise age: keep in-cap --
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_top_revenue_orders": q3_top_revenue_orders,
-    "q5_revenue_by_nation": q5_revenue_by_nation,
-    "q_cube_lineitem": q_cube_lineitem,
-    "q_asof_join": q_asof_join,
-    "q_window_top_orders": q_window_top_orders,
-    "q_events_sessionize": q_events_sessionize,
-    "q_range_join_events": q_range_join_events,
-    "q_cc_components": q_cc_components,
-    "q_stream_window": q_stream_window,
+    # -- text-inference pipelines: every one of these gained the
+    # spread_scan leaf rebalance in r5 (classify/zero-shot/rerank/ner/
+    # qa/fill-mask/generate/vision/audio mapInPandas chains), so their
+    # driver rows must be re-earned this round --
     "q_classify_docs": q_classify_docs,
     "q_zero_shot_docs": q_zero_shot_docs,
     "q_zero_shot_multi": q_zero_shot_multi,
@@ -1733,8 +1858,20 @@ QUERIES = {
     "q_generate_docs": q_generate_docs,
     "q_image_classify_all": q_image_classify_all,
     "q_zero_shot_detect": q_zero_shot_detect,
-    # -- tail (past the ~50-row cap): green in BOTH r2/r3 and r4, code
-    # UNCHANGED in r5 — falling out costs the least signal --
+    # -- headline TPC-H flagships: keep in-cap every round --
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_revenue_by_nation": q5_revenue_by_nation,
+    # -- tail (past the ~50-row cap): green in r4 (and earlier), code
+    # UNCHANGED in r5 (relational/text/streaming paths the rebalance
+    # refactor does not touch) — falling out costs the least signal --
+    "q_cube_lineitem": q_cube_lineitem,
+    "q_asof_join": q_asof_join,
+    "q_window_top_orders": q_window_top_orders,
+    "q_events_sessionize": q_events_sessionize,
+    "q_range_join_events": q_range_join_events,
+    "q_cc_components": q_cc_components,
+    "q_stream_window": q_stream_window,
     "q_token_count": q_token_count,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -1773,6 +1910,10 @@ ORACLE_SQL = {
     "q_minhash_pairs": Q_MINHASH_SQL,
     "q_minhash_pairs_fast": Q_MINHASH_SQL,  # hash-invariant verify; see docstring
     "q_approx_distinct": Q_APPROX_DISTINCT_SQL,
+    "q_repetition_filter": Q_REPETITION_SQL,
+    "q_ngram_topk": Q_NGRAM_TOPK_SQL,
+    "q_quantile_sketch": Q_QUANTILE_SKETCH_SQL,
+    "q_sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
     "q_simhash": _simhash_sql(),
     "q_simhash_neardup": _simhash_neardup_sql(),
     "q_jaccard_sample": _jaccard_sample_sql(),
