@@ -54,6 +54,10 @@ HEADLINE = [
     "q_knn_ivf_df",
     # new in r5
     "q_embed_tokens_docs",
+    "q_repetition_filter",
+    "q_ngram_topk",
+    "q_quantile_sketch",
+    "q_sample_stratified",
 ]
 
 

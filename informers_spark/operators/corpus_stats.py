@@ -38,7 +38,7 @@ def ngram_topk(
     by gram ascending (deterministic). Uses the shared word-shingle
     definition (texts shorter than n tokens contribute one shingle of
     all their tokens, matching the MinHash/Jaccard paths)."""
-    grams = df.select(
+    grams = spread_scan(df.select(text_col)).select(
         F.explode(word_shingles(F.col(text_col), n)).alias("gram")
     )
     return (
@@ -113,7 +113,14 @@ def repetition_filter(
     """Drop (or flag) documents whose duplicated-n-gram fraction exceeds
     `max_ratio` — the Gopher repetition rule as a corpus filter. Map-only
     column math over the scan; `keep_flagged=True` returns every row with
-    a `rep_ratio` column instead of filtering (audit mode)."""
+    a `rep_ratio` column instead of filtering (audit mode).
+
+    Plan note: in filter mode Catalyst pushes the predicate below the
+    spread exchange into the scan stage — at real scale that is exactly
+    right (rows are dropped before any shuffle); on a single-row-group
+    bench file it serializes the shingle math onto one core, so
+    throughput-sensitive audits should use keep_flagged=True (the ratio
+    Project stays above the exchange and parallelizes)."""
     from informers_spark.functions.text import repetition_ratio
 
     ratio = repetition_ratio(F.col(text_col), n)

@@ -524,18 +524,25 @@ SELECT doc_id AS id, {_DUCK_FP.format(S="text")} AS fp FROM documents ORDER BY d
 
 
 def q_repetition_filter(spark, sf_dir):
-    """Gopher-style repetition quality rule in audit mode: documents whose
-    duplicated-bigram fraction exceeds 0.05, with the ratio (the corpus
-    plants heavy-repetition docs; p50 of the ratio is ~0.03, so the 0.05
-    cut is discriminating — neither empty nor all-rows). The threshold
-    compares the RAW ratio; rounding is output-only, mirrored in SQL."""
+    """Gopher-style repetition quality rule in audit mode: every doc's
+    duplicated-bigram fraction plus its verdict against the 0.05 cut
+    (p50 of the ratio is ~0.03, so both verdicts occur — discriminating).
+    The threshold compares the RAW ratio; rounding is output-only,
+    mirrored in SQL. Emitting all rows (flag column, no filter) keeps
+    the heavy shingle Project ABOVE the spread exchange; a filter form
+    would be pushed into the single-row-group scan stage and serialize
+    onto one core at bench scale (see repetition_filter's plan note —
+    at real multi-split scale that pushdown is the desired plan)."""
     from informers_spark.operators.corpus_stats import repetition_filter
 
     docs = _t(spark, sf_dir, "documents")
     return (
         repetition_filter(docs, n=2, max_ratio=0.05, keep_flagged=True)
-        .filter(F.col("rep_ratio") > 0.05)
-        .select("doc_id", F.round("rep_ratio", 6).alias("rep_ratio"))
+        .select(
+            "doc_id",
+            F.round("rep_ratio", 6).alias("rep_ratio"),
+            (F.col("rep_ratio") > 0.05).alias("flagged"),
+        )
         .orderBy("doc_id")
     )
 
@@ -549,7 +556,7 @@ r AS (
                          i -> array_to_string(list_slice(t, i, i + 1), chr(32))) AS g
         FROM toks)
 )
-SELECT doc_id, ROUND(rr, 6) AS rep_ratio FROM r WHERE rr > 0.05 ORDER BY doc_id
+SELECT doc_id, ROUND(rr, 6) AS rep_ratio, rr > 0.05 AS flagged FROM r ORDER BY doc_id
 """
 
 
