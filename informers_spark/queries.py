@@ -481,6 +481,57 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup gated against DISTINCT: the documents
+    parquet replayed through readStream into stream_dedup, projected to
+    the dedup key (sha2 of text) BEFORE deduplication so the surviving
+    row is batch-order-independent (first-occurrence-wins on non-key
+    columns is not deterministic across micro-batch orderings). Exact
+    mode (no watermark) — a finite replay where global exactness is the
+    contract; the watermarked bounded-state variant is unit-tested in
+    test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from informers_spark.streaming.ingest import stream_dedup
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    land = tempfile.mkdtemp(prefix="q_stream_dedup_")
+    try:
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/documents.parquet"),
+            os.path.join(land, "documents.parquet"),
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(land)
+            .select(F.sha2(F.col("text"), 256).alias("content_sha"))
+        )
+        out = stream_dedup(stream, ["content_sha"])
+        name = "q_stream_dedup_sink"
+        spark.catalog.dropTempView(name)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+    return spark.table(name).orderBy("content_sha")
+
+
+Q_STREAM_DEDUP_SQL = """
+SELECT DISTINCT sha256(text) AS content_sha FROM documents ORDER BY content_sha
+"""
+
+
 def q_top_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.orderBy(F.desc("value"), F.asc("event_id")).select("event_id", "user_id", "value").limit(10)
@@ -1827,6 +1878,7 @@ QUERIES = {
     "q_ngram_topk": q_ngram_topk,
     "q_quantile_sketch": q_quantile_sketch,
     "q_sample_stratified": q_sample_stratified,
+    "q_stream_dedup": q_stream_dedup,
     # -- queries whose code or predicate changed in r05: embed() rework
     # (model_output/auto-switch touch every embed path), the
     # discriminating anti-join/jaccard predicates, the approx-distinct
@@ -1865,13 +1917,14 @@ QUERIES = {
     "q_generate_docs": q_generate_docs,
     "q_image_classify_all": q_image_classify_all,
     "q_zero_shot_detect": q_zero_shot_detect,
-    # -- headline TPC-H flagships: keep in-cap every round --
+    # -- headline TPC-H flagships: keep q1/q3 in-cap every round --
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
-    "q5_revenue_by_nation": q5_revenue_by_nation,
     # -- tail (past the ~50-row cap): green in r4 (and earlier), code
-    # UNCHANGED in r5 (relational/text/streaming paths the rebalance
-    # refactor does not touch) — falling out costs the least signal --
+    # UNCHANGED in r5 (relational/text/batch-streaming-window paths the
+    # rebalance refactor does not touch) — falling out costs the least
+    # signal --
+    "q5_revenue_by_nation": q5_revenue_by_nation,
     "q_cube_lineitem": q_cube_lineitem,
     "q_asof_join": q_asof_join,
     "q_window_top_orders": q_window_top_orders,
@@ -1921,6 +1974,7 @@ ORACLE_SQL = {
     "q_ngram_topk": Q_NGRAM_TOPK_SQL,
     "q_quantile_sketch": Q_QUANTILE_SKETCH_SQL,
     "q_sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
+    "q_stream_dedup": Q_STREAM_DEDUP_SQL,
     "q_simhash": _simhash_sql(),
     "q_simhash_neardup": _simhash_neardup_sql(),
     "q_jaccard_sample": _jaccard_sample_sql(),

@@ -66,6 +66,32 @@ def stream_extract_triples(
     return writer.start()
 
 
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    event_time_col: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication on `keys` — the streaming half of
+    the dedup family (operators/dedup.py is the batch half).
+
+    With `event_time_col` set: dropDuplicatesWithinWatermark — state is
+    evicted once the watermark passes a key's event time, so memory
+    stays BOUNDED on an infinite stream (the 100-TB ingest path); a
+    duplicate arriving later than the watermark re-emits, the standard
+    at-least-once trade for bounded state. Without it: dropDuplicates —
+    exact global dedup whose state grows with distinct keys; right for
+    finite backfills/replays where exactness is gated.
+
+    Emission is first-occurrence-wins, which is nondeterministic across
+    micro-batch orderings for NON-key columns — project the stream to
+    the key columns first when downstream comparisons need determinism
+    (q_stream_dedup does exactly this)."""
+    if event_time_col is not None:
+        return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return stream.dropDuplicates(keys)
+
+
 def stateful_sessionize(
     events_stream: DataFrame,
     gap_minutes: int = 30,

@@ -97,3 +97,72 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         for r in q_events_sessionize(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_stream_dedup_exact_across_microbatches(spark, tmp_path):
+    # duplicates split across TWO micro-batches must still collapse:
+    # dropDuplicates state persists between batches
+    from informers_spark.streaming.ingest import stream_dedup
+
+    landing = str(tmp_path / "dd_landing")
+    rows1 = [(i, f"k{i % 5}") for i in range(10)]      # keys k0..k4, dups
+    rows2 = [(i + 10, f"k{i % 8}") for i in range(16)]  # k0..k7 (3 new)
+    spark.createDataFrame(rows1, ["id", "key"]).write.parquet(landing)
+    spark.createDataFrame(rows2, ["id", "key"]).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema("id long, key string")
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(landing)
+        .select("key")
+    )
+    spark.catalog.dropTempView("dd_sink")
+    q = (
+        stream_dedup(stream, ["key"])
+        .writeStream.format("memory")
+        .queryName("dd_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted(r.key for r in spark.table("dd_sink").collect())
+    assert got == [f"k{i}" for i in range(8)]  # each key exactly once
+
+
+def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
+    # watermarked variant: duplicates inside the watermark horizon are
+    # dropped across micro-batches; the plan carries the
+    # dropDuplicatesWithinWatermark stateful operator (bounded state)
+    from informers_spark.streaming.ingest import stream_dedup
+
+    landing = str(tmp_path / "ddw_landing")
+    spark.createDataFrame(
+        [("2024-01-01 00:00:00", "a"), ("2024-01-01 00:01:00", "b")],
+        ["ts", "key"],
+    ).write.parquet(landing)
+    spark.createDataFrame(
+        [("2024-01-01 00:02:00", "a"), ("2024-01-01 00:03:00", "c")],
+        ["ts", "key"],
+    ).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema("ts string, key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .select(F.col("ts").cast("timestamp").alias("ts"), "key")
+    )
+    deduped = stream_dedup(stream, ["key"], event_time_col="ts", watermark="1 hour")
+    spark.catalog.dropTempView("ddw_sink")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddw_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted(r.key for r in spark.table("ddw_sink").collect())
+    assert got == ["a", "b", "c"]  # the batch-2 'a' dup is dropped
