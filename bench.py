@@ -58,6 +58,8 @@ HEADLINE = [
     "q_ngram_topk",
     "q_quantile_sketch",
     "q_sample_stratified",
+    "q_contamination",
+    "q_pii_scrub",
 ]
 
 

@@ -96,3 +96,32 @@ def lang_id(col: Column) -> Column:
         result = F.when(hits > best, F.lit(code)).otherwise(result)
         best = F.when(hits > best, hits).otherwise(best)
     return result
+
+
+# PII patterns chosen from the dialect intersection of Java regex (Spark)
+# and RE2 (DuckDB oracle): character classes, bounded repetition, and \b
+# only — no lookaround, no backrefs. Order matters: emails are scrubbed
+# before IPs/phones so a dotted domain is never half-eaten by a later rule.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+\d{1,2}[ \-]\d{3}[ \-]?\d{4}", "[PHONE]"),
+)
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrence count of one PII pattern ('email' | 'ipv4' | 'phone').
+    Counted on the RAW text (before scrubbing). Map-only, codegen'd."""
+    pat = {k: p for k, p, _ in PII_PATTERNS}[kind]
+    return F.regexp_count(col, F.lit(pat))
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails, IPv4 addresses, and phone numbers to typed tags
+    ([EMAIL]/[IP]/[PHONE]) — the training-data PII-scrub rule. A fold of
+    JVM regexp_replace calls in PII_PATTERNS order: map-only, no shuffle,
+    no Python in the row path; scale cost is O(bytes scanned)."""
+    out = col
+    for _, pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out

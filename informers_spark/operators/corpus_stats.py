@@ -20,6 +20,10 @@ Scale posture:
   queries.py) compared against a per-stratum rate. Deterministic under
   any partitioning/retry — the same row always lands on the same side
   of the cut, unlike rand()-based sampling.
+- `contamination` broadcasts the benchmark's distinct n-gram set (eval
+  suites are small by definition) against a map-side explode of the
+  corpus: the only shuffle is the per-doc hit count, carrying
+  (doc_id, partial_count) — never text, never a corpus self-join.
 """
 
 from __future__ import annotations
@@ -128,3 +132,54 @@ def repetition_filter(
     if keep_flagged:
         return flagged
     return flagged.filter(F.col("rep_ratio") <= max_ratio).drop("rep_ratio")
+
+
+def contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 1,
+    clean: bool = False,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination check: find training documents that share
+    >= `min_overlap` DISTINCT word n-grams with a benchmark/eval set
+    (the pre-training decontamination rule: any doc overlapping the
+    eval suite's n-grams leaks test answers into training).
+
+    Returns (id_col, overlap_cnt) for contaminated docs; `clean=True`
+    instead returns the decontaminated corpus (anti-join on the flagged
+    ids, original columns intact).
+
+    Scale posture: the benchmark side is exploded to distinct grams and
+    BROADCAST (eval suites are ~10^5 grams even for large benchmark
+    batteries — set `broadcast_bench=False` to let AQE pick if yours is
+    not). The corpus side is a map-only explode of per-doc DISTINCT
+    shingles joined against the broadcast, then one partial-aggregated
+    groupBy(id): the shuffle carries (id, partial_count) pairs only.
+    No corpus self-join exists at any size; cost is O(corpus grams).
+    Shingles use the shared `word_shingles` definition (one shingle
+    vocabulary repo-wide: MinHash, Jaccard, repetition, this)."""
+    from pyspark.sql.functions import broadcast as B
+
+    def grams(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("gram"),
+        )
+
+    bench_grams = grams(bench).select("gram").distinct()
+    if broadcast_bench:
+        bench_grams = B(bench_grams)
+    hits = (
+        grams(spread_scan(df))
+        .join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap_cnt"))
+        .filter(F.col("overlap_cnt") >= min_overlap)
+    )
+    if clean:
+        return df.join(hits.select(id_col), id_col, "left_anti")
+    return hits

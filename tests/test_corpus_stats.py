@@ -103,3 +103,45 @@ def test_quantile_sketch_rank_error_bound(spark):
             lo = s[max(0, int((p - 0.02) * len(s)) - 1)]
             hi = s[min(len(s) - 1, int((p + 0.02) * len(s)) + 1)]
             assert lo <= q <= hi
+
+
+def test_contamination_counts_distinct_gram_overlap(spark):
+    rows = [
+        (0, "alpha beta gamma delta"),        # benchmark doc
+        (1, "alpha beta gamma delta epsilon"),  # shares 2 distinct 3-grams
+        (2, "alpha beta gamma"),               # shares 1 (its only 3-gram)
+        (3, "zeta eta theta iota"),            # shares none
+        (4, "alpha beta gamma delta alpha beta gamma delta"),  # dup grams count once
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from informers_spark.operators.corpus_stats import contamination
+
+    bench = df.filter(F.col("doc_id") == 0)
+    corpus = df.filter(F.col("doc_id") != 0)
+    got = {r.doc_id: r.overlap_cnt for r in contamination(corpus, bench, n=3).collect()}
+    # doc 1: grams {a b g, b g d, g d e} vs bench {a b g, b g d} -> 2
+    assert got[1] == 2
+    assert got[2] == 1
+    assert 3 not in got
+    # doc 4's repeats collapse under array_distinct:
+    # {a b g, b g d, g d a, d a b} ∩ bench {a b g, b g d} -> 2, not 4
+    assert got[4] == 2
+    # min_overlap filters
+    got2 = {r.doc_id for r in contamination(corpus, bench, n=3, min_overlap=2).collect()}
+    assert got2 == {1, 4}
+    # clean mode: original rows minus flagged ids
+    kept = {r.doc_id for r in contamination(corpus, bench, n=3, min_overlap=2, clean=True).collect()}
+    assert kept == {2, 3}
+
+
+def test_contamination_broadcasts_bench_grams(spark):
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)], ["doc_id", "text"]
+    )
+    from informers_spark.operators.corpus_stats import contamination
+
+    plan = contamination(
+        df.filter(F.col("doc_id") >= 5), df.filter(F.col("doc_id") < 5)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
