@@ -60,6 +60,8 @@ HEADLINE = [
     "q_sample_stratified",
     "q_contamination",
     "q_pii_scrub",
+    "q_pack_chunk",
+    "q_temperature_sample",
 ]
 
 

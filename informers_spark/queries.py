@@ -709,6 +709,71 @@ ORDER BY doc_id
 """
 
 
+def q_pack_chunk(spark, sf_dir):
+    """Concat-and-chunk sequence packing (operators/packing.pack_sequences,
+    mode='chunk'): docs laid end-to-end per deterministic md5 bin and cut
+    every 128 tokens (GPT-style packing — a doc may straddle a cut,
+    n_spans counts how many packs it touches). No global sort: the only
+    shuffle is hash-by-bin carrying (id, bin, n_tokens), and the running
+    sum is a streaming window frame per bin."""
+    from informers_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=128, bins=16, mode="chunk").orderBy("doc_id")
+
+
+Q_PACK_CHUNK_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         (('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 16)::INTEGER AS bin,
+         len({_DUCK_TOKENS}) AS n_tokens
+  FROM documents),
+cums AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY bin ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base)
+SELECT doc_id, bin, n_tokens::INTEGER AS n_tokens,
+       ((cum - n_tokens) // 128)::INTEGER AS pack_id,
+       ((cum - n_tokens) % 128)::INTEGER AS pack_offset,
+       ((CASE WHEN n_tokens > 0 THEN cum - 1 ELSE cum - n_tokens END) // 128
+        - (cum - n_tokens) // 128 + 1)::INTEGER AS n_spans
+FROM cums ORDER BY doc_id
+"""
+
+
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-based mixture sampling (operators/packing
+    .temperature_sample): downsample each lang to the p^0.5 mixture at a
+    300-row target — the domain-mixing rule that upweights small slices
+    (en is ~2.8x zh in this corpus, so its keep-rate lands well below
+    the tail langs'). 300 keeps every rate strictly under 1 at the
+    sf0.01 gate (500 docs), so the gate discriminates the p^alpha math
+    rather than passing a kept-everything corpus. Rate table is |langs| rows and broadcast; the
+    corpus-side work is one map-only deterministic bucket filter."""
+    from informers_spark.operators.packing import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        temperature_sample(docs, "lang", "doc_id", alpha=0.5, target_rows=300)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+Q_TEMPERATURE_SAMPLE_SQL = """
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+ps AS (SELECT lang, n, n::DOUBLE / SUM(n) OVER () AS p FROM counts),
+qs AS (SELECT lang, n, POW(p, 0.5) / SUM(POW(p, 0.5)) OVER () AS q FROM ps),
+rates AS (SELECT lang,
+                 ROUND(LEAST(1.0, 300.0 * q / n) * 10000)::INTEGER AS cut
+          FROM qs)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 10000 < r.cut
+ORDER BY doc_id
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination gate: docs sharing >= 2 distinct word
     3-grams with the held-out eval split (doc_id % 97 == 0 plays the
@@ -1971,6 +2036,8 @@ QUERIES = {
     "q_stream_dedup": q_stream_dedup,
     "q_contamination": q_contamination,
     "q_pii_scrub": q_pii_scrub,
+    "q_pack_chunk": q_pack_chunk,
+    "q_temperature_sample": q_temperature_sample,
     # -- queries whose code or predicate changed in r05: embed() rework
     # (model_output/auto-switch touch every embed path), the
     # discriminating anti-join/jaccard predicates, the approx-distinct
@@ -1988,7 +2055,6 @@ QUERIES = {
     "q_embedding_neardup": q_embedding_neardup,
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_lsh": q_knn_lsh,
-    "q_knn_ivf": q_knn_ivf,
     "q_knn_ivf_df": q_knn_ivf_df,
     "q_centroids": q_centroids,
     "q_exact_dedup": q_exact_dedup,
@@ -2003,7 +2069,6 @@ QUERIES = {
     "q_ner_docs": q_ner_docs,
     "q_qa_docs": q_qa_docs,
     "q_fill_mask_docs": q_fill_mask_docs,
-    "q_classify_topk": q_classify_topk,
     "q_generate_docs": q_generate_docs,
     "q_image_classify_all": q_image_classify_all,
     "q_zero_shot_detect": q_zero_shot_detect,
@@ -2015,11 +2080,17 @@ QUERIES = {
     # (q_minhash_pairs shares the shingle/band path with _fast;
     # q_knn_lsh shares the hyperplane-bucket path with q_lsh_buckets),
     # so demoting them to make room for q_contamination/q_pii_scrub and
-    # keep q1/q3 in-cap costs the least signal. The rest is code
-    # UNCHANGED in r5 (relational/text/batch-streaming-window paths the
-    # rebalance refactor does not touch) --
+    # keep q1/q3 in-cap costs the least signal; likewise q_knn_ivf
+    # (equality-tested vs in-cap q_knn_ivf_df) and q_classify_topk
+    # (q_classify_docs covers the classify path; topk adds only
+    # get_top_items, pinned by unit tests) made room for
+    # q_pack_chunk/q_temperature_sample. The rest is code UNCHANGED in
+    # r5 (relational/text/batch-streaming-window paths the rebalance
+    # refactor does not touch) --
     "q_minhash_pairs_fast": q_minhash_pairs_fast,
     "q_lsh_buckets": q_lsh_buckets,
+    "q_knn_ivf": q_knn_ivf,
+    "q_classify_topk": q_classify_topk,
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "q_cube_lineitem": q_cube_lineitem,
     "q_asof_join": q_asof_join,
@@ -2073,6 +2144,8 @@ ORACLE_SQL = {
     "q_stream_dedup": Q_STREAM_DEDUP_SQL,
     "q_contamination": Q_CONTAMINATION_SQL,
     "q_pii_scrub": _pii_scrub_sql(),
+    "q_pack_chunk": Q_PACK_CHUNK_SQL,
+    "q_temperature_sample": Q_TEMPERATURE_SAMPLE_SQL,
     "q_simhash": _simhash_sql(),
     "q_simhash_neardup": _simhash_neardup_sql(),
     "q_jaccard_sample": _jaccard_sample_sql(),
