@@ -62,6 +62,7 @@ HEADLINE = [
     "q_pii_scrub",
     "q_pack_chunk",
     "q_temperature_sample",
+    "q_chunk_docs",
 ]
 
 

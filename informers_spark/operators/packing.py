@@ -176,3 +176,48 @@ def pack_sequences(
 
     schema = f"{id_col} long, bin int, n_tokens int, pack_id int, pack_offset int"
     return base.groupBy("bin").applyInPandas(pack_bin, schema)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows — the
+    RAG-index / long-document splitter. One output row per chunk:
+    (id, chunk_id, start_tok, n_tokens, chunk_text) where chunks start
+    every `size - overlap` tokens and the last chunk may be short; an
+    empty document yields one empty chunk (chunk_id 0) so no doc
+    silently disappears.
+
+    Scale posture: map-only — tokenize, generate the start positions
+    with F.sequence, posexplode, slice. No shuffle exists at any size;
+    the fan-out is ~n_tokens/(size-overlap) rows per doc and the chunk
+    text is sliced from the already-tokenized array (the raw text is
+    scanned once). Deterministic: chunk boundaries depend only on the
+    token count, never on partitioning."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got size={size} overlap={overlap}")
+    from informers_spark.functions.text import tokens
+
+    step = size - overlap
+    toks = spread_scan(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("t")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("t") - 1, F.lit(0)), F.lit(step)
+    )
+    return (
+        toks.select(id_col, "t", F.explode(starts).alias("start_tok"))
+        .select(
+            id_col,
+            (F.col("start_tok") / step).cast("int").alias("chunk_id"),
+            "start_tok",
+            F.least(F.lit(size), F.size("t") - F.col("start_tok")).alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("t"), F.col("start_tok") + 1, size), " "
+            ).alias("chunk_text"),
+        )
+    )

@@ -760,6 +760,33 @@ def q_temperature_sample(spark, sf_dir):
     )
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Overlapping fixed-token window splitter (operators/packing
+    .chunk_documents): 32-token chunks every 24 tokens (8-token overlap)
+    — the RAG-index / long-document chunking rule. Map-only (tokenize →
+    F.sequence starts → explode → slice): zero shuffles at any corpus
+    size; most sf docs span 2-4 chunks so the gate exercises the
+    multi-chunk path, short-tail chunks, and the overlap itself."""
+    from informers_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=32, overlap=8).orderBy("doc_id", "chunk_id")
+
+
+Q_CHUNK_DOCS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, GREATEST(len(t) - 1, 0), 24)) AS start_tok
+  FROM toks)
+SELECT doc_id, (start_tok // 24)::INTEGER AS chunk_id,
+       start_tok::INTEGER AS start_tok,
+       LEAST(32, len(t) - start_tok)::INTEGER AS n_tokens,
+       array_to_string(list_slice(t, start_tok + 1, start_tok + 32), ' ') AS chunk_text
+FROM starts ORDER BY doc_id, chunk_id
+"""
+
+
 Q_TEMPERATURE_SAMPLE_SQL = """
 WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
 ps AS (SELECT lang, n, n::DOUBLE / SUM(n) OVER () AS p FROM counts),
@@ -2038,6 +2065,7 @@ QUERIES = {
     "q_pii_scrub": q_pii_scrub,
     "q_pack_chunk": q_pack_chunk,
     "q_temperature_sample": q_temperature_sample,
+    "q_chunk_docs": q_chunk_docs,
     # -- queries whose code or predicate changed in r05: embed() rework
     # (model_output/auto-switch touch every embed path), the
     # discriminating anti-join/jaccard predicates, the approx-distinct
@@ -2064,7 +2092,6 @@ QUERIES = {
     # driver rows must be re-earned this round --
     "q_classify_docs": q_classify_docs,
     "q_zero_shot_docs": q_zero_shot_docs,
-    "q_zero_shot_multi": q_zero_shot_multi,
     "q_rerank_docs": q_rerank_docs,
     "q_ner_docs": q_ner_docs,
     "q_qa_docs": q_qa_docs,
@@ -2084,13 +2111,17 @@ QUERIES = {
     # (equality-tested vs in-cap q_knn_ivf_df) and q_classify_topk
     # (q_classify_docs covers the classify path; topk adds only
     # get_top_items, pinned by unit tests) made room for
-    # q_pack_chunk/q_temperature_sample. The rest is code UNCHANGED in
+    # q_pack_chunk/q_temperature_sample, and q_zero_shot_multi
+    # (q_zero_shot_docs covers the zero-shot chain; the multi-label
+    # sigmoid mode is pinned by unit tests) for q_chunk_docs. The rest
+    # is code UNCHANGED in
     # r5 (relational/text/batch-streaming-window paths the rebalance
     # refactor does not touch) --
     "q_minhash_pairs_fast": q_minhash_pairs_fast,
     "q_lsh_buckets": q_lsh_buckets,
     "q_knn_ivf": q_knn_ivf,
     "q_classify_topk": q_classify_topk,
+    "q_zero_shot_multi": q_zero_shot_multi,
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "q_cube_lineitem": q_cube_lineitem,
     "q_asof_join": q_asof_join,
@@ -2146,6 +2177,7 @@ ORACLE_SQL = {
     "q_pii_scrub": _pii_scrub_sql(),
     "q_pack_chunk": Q_PACK_CHUNK_SQL,
     "q_temperature_sample": Q_TEMPERATURE_SAMPLE_SQL,
+    "q_chunk_docs": Q_CHUNK_DOCS_SQL,
     "q_simhash": _simhash_sql(),
     "q_simhash_neardup": _simhash_neardup_sql(),
     "q_jaccard_sample": _jaccard_sample_sql(),

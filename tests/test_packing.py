@@ -150,3 +150,39 @@ def test_pack_chunk_plan_partitions_window_by_bin(spark):
     import re
     # no unpartitioned window exchange anywhere in the pack plan
     assert not re.search(r"Exchange SinglePartition", plan)
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from informers_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(25))
+    df = _docs(spark, [(1, text), (2, "a b"), (3, "")])
+    out = sorted(tuple(r) for r in
+                 chunk_documents(df, size=10, overlap=4).collect())
+    # doc 1: starts every 6 tokens -> 0,6,12,18,24
+    d1 = [r for r in out if r[0] == 1]
+    assert [(r[1], r[2], r[3]) for r in d1] == [
+        (0, 0, 10), (1, 6, 10), (2, 12, 10), (3, 18, 7), (4, 24, 1)]
+    assert d1[0][4].split() == [f"t{i}" for i in range(10)]
+    assert d1[1][4].split() == [f"t{i}" for i in range(6, 16)]  # 4-token overlap
+    assert d1[3][4].split() == [f"t{i}" for i in range(18, 25)]
+    # short doc -> one chunk; empty doc -> one empty chunk
+    assert [r[1:] for r in out if r[0] == 2] == [(0, 0, 2, "a b")]
+    assert [r[1:] for r in out if r[0] == 3] == [(0, 0, 0, "")]
+
+
+def test_chunk_documents_bad_overlap_raises(spark):
+    from informers_spark.operators.packing import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "a")]), size=8, overlap=8)
+
+
+def test_chunk_documents_plan_is_shuffle_free(spark):
+    from informers_spark.operators.packing import chunk_documents
+
+    df = _docs(spark, [(i, "w " * 40) for i in range(20)]).repartition(4)
+    plan = _plan(chunk_documents(df, size=16, overlap=4))
+    # map-only: explode + project, no exchange beyond what the input had
+    assert "Exchange hashpartitioning" not in plan
+    assert "Sort" not in plan
