@@ -24,7 +24,7 @@ def test_stream_extract_matches_batch(spark, tmp_path):
     files.filter("file_id >= 20").write.mode("append").parquet(landing)
 
     q = stream_extract_triples(stream_files(spark, landing), sink, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "triple-extract drain did not finish"
 
     from informers_spark.operators.extract import extract_structural_triples
 
@@ -35,7 +35,7 @@ def test_stream_extract_matches_batch(spark, tmp_path):
 
     # restart on the same checkpoint: no reprocessing (exactly-once)
     q2 = stream_extract_triples(stream_files(spark, landing), sink, ckpt)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(300), "restart drain did not finish"
     assert spark.read.parquet(sink).count() == batch.count()
 
 
@@ -87,15 +87,26 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    got = {
-        r.user_id: (r.n_sessions, r.n_events)
-        for r in spark.table(name).collect()
-    }
     exp = {
         r.user_id: (r.n_sessions, r.n_events)
         for r in q_events_sessionize(spark, sf_dir).collect()
     }
+    # What this test pins is stream/batch PARITY, not self-termination:
+    # poll the update sink until it reaches the batch answer (a loaded
+    # host can stretch the drain well past a fixed awaitTermination).
+    import time as _time
+
+    deadline = _time.time() + 300
+    got = {}
+    while _time.time() < deadline:
+        q.awaitTermination(10)
+        got = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in spark.table(name).collect()
+        }
+        if got == exp:
+            break
+    q.stop()
     assert got == exp
 
 
@@ -125,8 +136,11 @@ def test_stream_dedup_exact_across_microbatches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # under a loaded host the availableNow drain can exceed a short wait;
+    # stopping early truncates the sink, so require real termination
+    finished = q.awaitTermination(300)
     q.stop()
+    assert finished, "stream_dedup drain did not finish in 300s"
     got = sorted(r.key for r in spark.table("dd_sink").collect())
     assert got == [f"k{i}" for i in range(8)]  # each key exactly once
 
@@ -162,7 +176,8 @@ def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(300)
     q.stop()
+    assert finished, "watermarked drain did not finish in 300s"
     got = sorted(r.key for r in spark.table("ddw_sink").collect())
     assert got == ["a", "b", "c"]  # the batch-2 'a' dup is dropped
