@@ -1,0 +1,328 @@
+"""Graph analytics over DataFrame edge lists — the query layer that sits
+downstream of KG materialization (plans/kg.py writes triples/nodes/edges
+tables) and canonicalization (operators/canon.py connected_components).
+
+A knowledge graph you can only *build* but not *query* is half a product:
+after `build_kg` lands (subj, pred, obj) triples, the obvious next asks
+are "which entities matter" (PageRank), "what is reachable from X"
+(k-hop), "how dense is the neighborhood" (degrees, triangles). Each
+operator here takes a plain (src, dst) edge DataFrame — `triples.select
+(F.col("subj").alias("src"), F.col("obj").alias("dst"))` — so they
+compose with any predicate filter.
+
+Scale shape (the part that must survive 100 TB):
+- Every per-iteration step is an equi-join on a node key plus a groupBy
+  with map-side partial aggregation — no cartesian products, no
+  driver-side edge materialization. Hot destination nodes (every KG has
+  celebrity entities) are absorbed by partial aggregation; hot source
+  nodes by AQE skew-join splitting.
+- Iterative loops `localCheckpoint()` each round, exactly like
+  connected_components, so the lineage stays O(1) instead of O(iters)
+  and a star-shaped hot component cannot explode the plan.
+- The only driver-side values are single-row scalars (node count, the
+  dangling-mass probe) — the same class of bounded action as the CC
+  convergence count; never an O(nodes) collect.
+- Triangle counting uses the degree-oriented orientation (each
+  undirected edge points from the (degree, node)-smaller endpoint to the
+  larger), which bounds the wedge fan-out per node by its *oriented*
+  out-degree — the standard trick that keeps the wedge join near
+  O(m^1.5) on power-law graphs instead of O(sum deg^2) exploding on the
+  hottest hub.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """→ (node, out_deg, in_deg, degree) for every node appearing in the
+    edge list. One shuffle per direction, map-side combined; the outer
+    join re-shuffles only (node, count) pairs, never edges."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("out_deg"))
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(F.count("*").alias("in_deg"))
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            (F.coalesce("out_deg", F.lit(0)) + F.coalesce("in_deg", F.lit(0))).alias("degree"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Fixed-iteration power-method PageRank → (node, rank).
+
+    r_{t+1}(v) = (1-d)/N + d * (Σ_{u→v} r_t(u)/outdeg(u) + dangling_t/N)
+
+    where dangling_t is the rank mass sitting on nodes with no out-edges,
+    redistributed uniformly (the standard treatment). Fixed `iterations`
+    rather than an epsilon stop makes the result a pure deterministic
+    function of (edges, iterations, damping) — which is what lets the
+    correctness gate unroll the exact same recurrence in SQL.
+
+    Per iteration: one shuffle joining ranks onto the (src, dst, od)
+    edge table by src, one map-side-combined groupBy(dst), one broadcast
+    of the 1-row dangling aggregate, then localCheckpoint to pin the
+    iterate and cut lineage. Out-degrees are joined onto edges ONCE
+    before the loop, not per-iteration."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()  # single scalar; the formula needs N on both sides
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    teleport = (1.0 - damping) / n
+
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("od"))
+    edges_w = (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .join(out_deg, F.col("e_src") == F.col("node"))
+        .select("e_src", "e_dst", "od")
+        .localCheckpoint()  # scanned every iteration
+    )
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            edges_w.join(ranks, F.col("e_src") == F.col("node"))
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("od")).alias("contrib"))
+        )
+        # rank mass on dangling nodes (no out-edges): 1-row aggregate,
+        # broadcast onto every node — never a driver round-trip inside
+        # the loop's plan
+        dangling = (
+            ranks.join(out_deg.select("node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("mass") / F.lit(float(n)))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    if metrics is not None:
+        metrics["iterations"] = iterations
+        metrics["n_nodes"] = n
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str, iterations: int = 5, damping: float = 0.85, round_to: int = 6
+) -> str:
+    """Unrolled ANSI-SQL twin of `pagerank` for the DuckDB correctness
+    gate: CTE r0 → r1 → … → r{k}, each step the identical recurrence
+    with the identical float literals (interpolated from the same Python
+    doubles the Spark plan uses, so both engines evaluate the same IEEE
+    constants). `edges_sql` must yield columns (src, dst)."""
+    d = repr(float(damping))
+    steps = []
+    for i in range(1, iterations + 1):
+        prev = f"r{i - 1}"
+        steps.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         (1.0 - {d}) / nn.n + {d} * (COALESCE(c.contrib, 0.0) + dg.mass / nn.n) AS rank
+  FROM nodes n
+  CROSS JOIN ncount nn
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / o.od) AS contrib
+    FROM e JOIN {prev} r ON e.src = r.node JOIN outdeg o ON e.src = o.node
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+  CROSS JOIN (
+    SELECT COALESCE(SUM(r.rank), 0.0) AS mass
+    FROM {prev} r LEFT JOIN outdeg o ON r.node = o.node
+    WHERE o.node IS NULL
+  ) dg
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH e AS ({edges_sql}),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+ncount AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src AS node, COUNT(*) AS od FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, ncount nn),
+{unrolled}
+SELECT node, ROUND(rank, {round_to}) AS rank FROM r{iterations} ORDER BY node
+"""
+
+
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Min-hop BFS from a seed set → (node, hops), hops ∈ [0, k].
+
+    Frontier expansion: frontier ⋈ edges → dedup → anti-join visited.
+    The anti-join keeps the frontier MINIMAL (a node reached at hop 2 is
+    never re-expanded at hop 3), which is what bounds total work by
+    O(reachable edges), not O(k · edges). Early-exits on an empty
+    frontier via a bounded limit(1) probe, same trick as canon.py's
+    size gate."""
+    visited = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().withColumn(
+        "hops", F.lit(0)
+    ).localCheckpoint()
+    frontier = visited.select("node")
+    hops_run = 0
+    for i in range(1, k + 1):
+        nxt = (
+            edges.join(frontier, edges[src] == frontier.node)
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(i))
+            .localCheckpoint()
+        )
+        if not nxt.limit(1).collect():  # bounded probe, never a full count
+            break
+        hops_run = i
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    if metrics is not None:
+        metrics["hops_expanded"] = hops_run
+    return visited
+
+
+def k_hop_oracle_sql(edges_sql: str, seeds_sql: str, k: int) -> str:
+    """Recursive-CTE twin of `k_hop`: depth-bounded reachability then a
+    MIN(hops) rollup (the CTE enumerates all ≤k paths; the GROUP BY
+    collapses them to first-visit depth, matching BFS)."""
+    return f"""
+WITH RECURSIVE e AS ({edges_sql}),
+seeds AS ({seeds_sql}),
+reach(node, hops) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, r.hops + 1 FROM reach r JOIN e ON e.src = r.node WHERE r.hops < {k}
+)
+SELECT node, MIN(hops) AS hops FROM reach GROUP BY node ORDER BY node
+"""
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count over an UNDIRECTED graph given as a directed
+    edge list (direction ignored; self-loops and duplicate/reverse pairs
+    collapsed) → one row (n_nodes, n_edges, n_triangles).
+
+    Degree-oriented counting: canonicalize each edge to (lo, hi) by node
+    id, compute degrees, then orient every edge from the
+    (degree, node)-SMALLER endpoint to the larger. Every triangle then
+    has exactly one wedge at its orientation-minimal vertex, so
+    wedges ⋈ oriented-edges counts each triangle exactly once — and the
+    wedge fan-out at a hub is C(oriented-outdeg, 2), which orientation
+    caps near O(sqrt(m)) instead of the hub's raw degree. All joins are
+    equi-joins; the wedge join key is the (u, w) pair."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()  # reused: degrees + wedge build + closing join
+    )
+    deg = _und_degrees(und)
+    tri = _wedge_close(und, deg)
+    n_tri = tri.count()
+    n_edges = und.count()
+    n_nodes = deg.count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_tri)], "n_nodes bigint, n_edges bigint, n_triangles bigint"
+    )
+
+
+def _und_degrees(und: DataFrame) -> DataFrame:
+    return (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+
+
+def _wedge_close(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """The oriented wedge ⋈ closing-edge plan (one row per triangle);
+    factored out so plan tests can assert the closing join stays a hash
+    equi-join."""
+    # orient by key = (deg, node): struct comparison gives the total
+    # order; carry the head's key on each oriented edge so wedge pairs
+    # can be put in the SAME order — then the closing edge is always
+    # exactly x→y and one plain equi-join finds it (an either-direction
+    # OR-join would fall off the equi-join plan into a nested loop)
+    ka = F.struct(F.col("da.deg").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("db.deg").alias("d"), F.col("b").alias("n"))
+    da, db = deg.alias("da"), deg.alias("db")
+    oriented = (
+        und.join(da, F.col("a") == F.col("da.node"))
+        .join(db, F.col("b") == F.col("db.node"))
+        .select(
+            F.when(ka < kb, F.struct(F.col("a").alias("u"), F.col("b").alias("v"), kb.alias("kv")))
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v"), ka.alias("kv")))
+            .alias("e")
+        )
+        .select("e.u", "e.v", "e.kv")
+        .localCheckpoint()
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e1.u") == F.col("e2.u"))
+        .filter(F.col("e1.kv") < F.col("e2.kv"))
+        .select(F.col("e1.v").alias("x"), F.col("e2.v").alias("y"))
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    return wedges.join(closing, ["x", "y"])
+
+
+def kg_graph_summary(
+    spark,
+    warehouse_dir: str,
+    preds: list[str] | None = None,
+    pagerank_iterations: int = 5,
+    top_n: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Analytics over a `build_kg` warehouse's materialized edges table
+    → (summary, top_entities).
+
+    summary: one row (n_nodes, n_edges, n_triangles) over the selected
+    predicate slice; top_entities: the `top_n` highest-PageRank nodes
+    (node, rank) — "which entities matter" straight off the graph the
+    job just landed. `preds` filters the edge slice (e.g. ["imports",
+    "same_as"]); None = every predicate. The edges table is partitioned
+    by pred (plans/kg.py), so a preds filter is partition pruning, not
+    a scan-and-drop."""
+    edges = spark.read.parquet(f"{warehouse_dir.rstrip('/')}/edges")
+    if preds is not None:
+        edges = edges.filter(F.col("pred").isin(list(preds)))
+    edges = edges.select("src", "dst")
+    summary = triangle_count(edges)
+    ranks = pagerank(edges, iterations=pagerank_iterations)
+    top = ranks.orderBy(F.desc("rank"), "node").limit(top_n)
+    return summary, top

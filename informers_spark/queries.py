@@ -1494,6 +1494,166 @@ SELECT node, MIN(comp) AS component FROM reach GROUP BY node ORDER BY node
 
 
 # ---------------------------------------------------------------------------
+# graph analytics over materialized KG edge lists (operators/graph.py) —
+# the query layer downstream of triple materialization: the relational FK
+# structure IS a knowledge graph ((customer, in_nation, nation), ...), so
+# these gates exercise triple materialization from relational sources plus
+# PageRank / k-hop / degrees / triangles over the resulting edges
+# ---------------------------------------------------------------------------
+
+
+def _entity_edges(spark, sf_dir):
+    """Deterministic entity graph from the TPC-H FK structure:
+    customer→nation, supplier→nation, nation→region. Regions are
+    dangling (no out-edges), so PageRank's dangling-mass path is
+    exercised by construction."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("supplier:"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("nation:"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return cust.unionAll(supp).unionAll(nat)
+
+
+_ENTITY_EDGES_SQL = """
+SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS src,
+       'nation:' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+UNION ALL
+SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+       'nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+UNION ALL
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+       'region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+"""
+
+
+def q_kg_triples_relational(spark, sf_dir):
+    """Triple materialization from relational sources — the (subj, pred,
+    obj) shape plans/kg.py lands, derived here from FK structure
+    (reference emits the same shape from code entities; this gate pins
+    the materialization contract on relational input)."""
+    ent = _entity_edges(spark, sf_dir)
+    typed = ent.select(
+        "src",
+        F.when(F.col("src").startswith("nation:"), F.lit("in_region"))
+        .otherwise(F.lit("in_nation"))
+        .alias("pred"),
+        "dst",
+    )
+    placed = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.lit("placed_by").alias("pred"),
+        F.concat(F.lit("customer:"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    return (
+        typed.unionAll(placed)
+        .select(F.col("src").alias("subj"), "pred", F.col("dst").alias("obj"))
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+_KG_TRIPLES_SQL = f"""
+WITH ent AS ({_ENTITY_EDGES_SQL})
+SELECT src AS subj,
+       CASE WHEN src LIKE 'nation:%' THEN 'in_region' ELSE 'in_nation' END AS pred,
+       dst AS obj
+FROM ent
+UNION ALL
+SELECT 'order:' || CAST(o_orderkey AS VARCHAR), 'placed_by',
+       'customer:' || CAST(o_custkey AS VARCHAR) FROM orders
+ORDER BY subj, pred, obj
+"""
+
+
+def q_kg_degrees(spark, sf_dir):
+    """Node degrees over the entity graph (operators/graph.py:degrees)."""
+    from informers_spark.operators.graph import degrees
+
+    return degrees(_entity_edges(spark, sf_dir)).orderBy("node")
+
+
+_KG_DEGREES_SQL = f"""
+WITH e AS ({_ENTITY_EDGES_SQL}),
+o AS (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY src),
+i AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY dst)
+SELECT COALESCE(o.node, i.node) AS node,
+       COALESCE(out_deg, 0) AS out_deg,
+       COALESCE(in_deg, 0) AS in_deg,
+       COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS degree
+FROM o FULL OUTER JOIN i ON o.node = i.node
+ORDER BY node
+"""
+
+
+def q_pagerank_entities(spark, sf_dir):
+    """Fixed-iteration PageRank over the entity graph
+    (operators/graph.py:pagerank); the oracle unrolls the identical
+    recurrence with the identical IEEE float literals, so ROUND(·, 6)
+    lands on the same decimal on both engines."""
+    from informers_spark.operators.graph import pagerank
+
+    pr = pagerank(_entity_edges(spark, sf_dir), iterations=5, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+def q_khop_regions(spark, sf_dir):
+    """Min-hop BFS (operators/graph.py:k_hop) from the region nodes over
+    the REVERSED entity graph: region →(1) nation →(2) customer/supplier."""
+    from informers_spark.operators.graph import k_hop
+
+    rev = _entity_edges(spark, sf_dir).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    seeds = _t(spark, sf_dir, "region").select(
+        F.concat(F.lit("region:"), F.col("r_regionkey").cast("string")).alias("node")
+    )
+    return k_hop(rev, seeds, k=2).orderBy("node")
+
+
+_KHOP_SQL_EDGES = f"SELECT dst AS src, src AS dst FROM ({_ENTITY_EDGES_SQL})"
+_KHOP_SQL_SEEDS = "SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS node FROM region"
+
+
+def q_triangles_coparts(spark, sf_dir):
+    """Degree-oriented triangle count (operators/graph.py:triangle_count)
+    over the co-purchase graph (parts sharing an order). The oracle
+    counts a<b<c triangles with plain joins — the COUNT is algorithm-
+    independent, so the scale-side orientation trick needs no SQL twin."""
+    from informers_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    )
+    return triangle_count(pairs)
+
+
+_TRIANGLES_SQL = """
+WITH e AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e)
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*) FROM e e1
+          JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles
+"""
+
+
+# ---------------------------------------------------------------------------
 # inference pipelines over documents (classify/zero-shot/rerank have exact
 # SQL oracles because the deterministic backend is lexicon arithmetic;
 # embed/ner are rows-only checks)
@@ -2038,6 +2198,13 @@ ORDER BY doc_id, start
 # green in BOTH r01 and r02 sit at the tail, where falling past the cap
 # costs the least signal.
 QUERIES = {
+    # -- brand new in r5: graph analytics over materialized KG edges
+    # (operators/graph.py) — never driver-verified, so in-cap first --
+    "q_kg_triples_relational": q_kg_triples_relational,
+    "q_kg_degrees": q_kg_degrees,
+    "q_pagerank_entities": q_pagerank_entities,
+    "q_khop_regions": q_khop_regions,
+    "q_triangles_coparts": q_triangles_coparts,
     # -- r3-green vision/audio tail rotated back in (VERDICT r04 open
     # item 5): their last driver row is two rounds old --
     "q_image_embed": q_image_embed,
@@ -2085,23 +2252,32 @@ QUERIES = {
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf_df": q_knn_ivf_df,
     "q_centroids": q_centroids,
-    "q_exact_dedup": q_exact_dedup,
     # -- text-inference pipelines: every one of these gained the
     # spread_scan leaf rebalance in r5 (classify/zero-shot/rerank/ner/
-    # qa/fill-mask/generate/vision/audio mapInPandas chains), so their
-    # driver rows must be re-earned this round --
+    # qa/fill-mask/generate/vision/audio mapInPandas chains); one
+    # representative per distinct chain stays in-cap (classify =
+    # single-text encode+softmax head shared by rerank/qa/fill-mask,
+    # zero_shot = pair encode, ner = token head, generate = decoder
+    # loop, image_classify_all = vision mapInPandas) --
     "q_classify_docs": q_classify_docs,
     "q_zero_shot_docs": q_zero_shot_docs,
-    "q_rerank_docs": q_rerank_docs,
     "q_ner_docs": q_ner_docs,
-    "q_qa_docs": q_qa_docs,
-    "q_fill_mask_docs": q_fill_mask_docs,
     "q_generate_docs": q_generate_docs,
     "q_image_classify_all": q_image_classify_all,
-    "q_zero_shot_detect": q_zero_shot_detect,
     # -- headline TPC-H flagships: keep q1/q3 in-cap every round --
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
+    # -- tail additions for r5's graph block: q_rerank_docs/q_qa_docs/
+    # q_fill_mask_docs/q_zero_shot_detect (r4-green; spread_scan delta
+    # is the same code as their in-cap siblings above, pinned by
+    # tests/test_plans.py + unit tests) and q_exact_dedup (one-line
+    # sha2 groupBy, r4-green, guard plan-tested) made room for the five
+    # never-verified graph-analytics gates at the head --
+    "q_rerank_docs": q_rerank_docs,
+    "q_qa_docs": q_qa_docs,
+    "q_fill_mask_docs": q_fill_mask_docs,
+    "q_zero_shot_detect": q_zero_shot_detect,
+    "q_exact_dedup": q_exact_dedup,
     # -- tail (past the ~50-row cap): green in r4 (and earlier). The
     # first two are r5-touched but sibling-covered in-cap
     # (q_minhash_pairs shares the shingle/band path with _fast;
@@ -2143,7 +2319,22 @@ QUERIES = {
     "q_fingerprint": q_fingerprint,
 }
 
+def _graph_oracles() -> dict:
+    from informers_spark.operators.graph import k_hop_oracle_sql, pagerank_oracle_sql
+
+    return {
+        "q_kg_triples_relational": _KG_TRIPLES_SQL,
+        "q_kg_degrees": _KG_DEGREES_SQL,
+        "q_pagerank_entities": pagerank_oracle_sql(
+            _ENTITY_EDGES_SQL, iterations=5, damping=0.85
+        ),
+        "q_khop_regions": k_hop_oracle_sql(_KHOP_SQL_EDGES, _KHOP_SQL_SEEDS, k=2),
+        "q_triangles_coparts": _TRIANGLES_SQL,
+    }
+
+
 ORACLE_SQL = {
+    **_graph_oracles(),
     "q1_pricing_summary": Q1_SQL,
     "q3_top_revenue_orders": Q3_SQL,
     "q5_revenue_by_nation": Q5_SQL,

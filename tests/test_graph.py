@@ -1,0 +1,160 @@
+"""Unit tests for operators/graph.py — graph analytics over edge-list
+DataFrames (the query layer downstream of KG triple materialization).
+
+Hand-checkable graphs throughout: ranks/hops/triangle counts are
+verified against values computed independently (numpy power iteration,
+enumerated paths, brute-force triangle enumeration)."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from informers_spark.operators.graph import (
+    degrees,
+    k_hop,
+    pagerank,
+    triangle_count,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_degrees_counts_both_directions(spark):
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a")])
+    rows = {r["node"]: r for r in degrees(e).collect()}
+    assert rows["a"].asDict() == {"node": "a", "out_deg": 2, "in_deg": 1, "degree": 3}
+    assert rows["c"].asDict() == {"node": "c", "out_deg": 0, "in_deg": 2, "degree": 2}
+    assert rows["d"].asDict() == {"node": "d", "out_deg": 1, "in_deg": 0, "degree": 1}
+
+
+def _pagerank_reference(pairs, iterations, damping):
+    """Independent dense power iteration with dangling redistribution."""
+    nodes = sorted({n for p in pairs for n in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = [0] * n
+    for s, _ in pairs:
+        out[idx[s]] += 1
+    rank = [1.0 / n] * n
+    for _ in range(iterations):
+        contrib = [0.0] * n
+        for s, d in pairs:
+            contrib[idx[d]] += rank[idx[s]] / out[idx[s]]
+        dangling = sum(r for i, r in enumerate(rank) if out[i] == 0)
+        rank = [
+            (1.0 - damping) / n + damping * (c + dangling / n) for c in contrib
+        ]
+    return dict(zip(nodes, rank))
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    # c is dangling; a is the hub
+    pairs = [("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("d", "a")]
+    got = {r["node"]: r["rank"] for r in pagerank(_edges(spark, pairs), iterations=4).collect()}
+    want = _pagerank_reference(pairs, iterations=4, damping=0.85)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12)
+
+
+def test_pagerank_mass_conserved_and_deterministic(spark):
+    pairs = [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(40)]
+    pairs = [(s, d) for s, d in pairs if s != d]
+    e = _edges(spark, pairs)
+    m = {}
+    r1 = pagerank(e, iterations=6, metrics=m).collect()
+    assert sum(r["rank"] for r in r1) == pytest.approx(1.0, abs=1e-9)
+    assert m == {"iterations": 6, "n_nodes": len({n for p in pairs for n in p})}
+    r2 = pagerank(e, iterations=6).collect()
+    assert sorted((r["node"], r["rank"]) for r in r1) == sorted(
+        (r["node"], r["rank"]) for r in r2
+    )
+
+
+def test_pagerank_empty_edges(spark):
+    e = _edges(spark, []).filter("src IS NOT NULL")
+    assert pagerank(e, iterations=3).count() == 0
+
+
+def test_k_hop_min_hops_and_early_exit(spark):
+    # chain a->b->c->d plus a shortcut a->c: c must report hops=1 (min), not 2
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")])
+    seeds = spark.createDataFrame([("a",)], "node string")
+    m = {}
+    got = {r["node"]: r["hops"] for r in k_hop(e, seeds, k=2, metrics=m).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+    assert m["hops_expanded"] == 2
+
+
+def test_k_hop_frontier_exhausts_before_k(spark):
+    e = _edges(spark, [("a", "b")])
+    seeds = spark.createDataFrame([("a",)], "node string")
+    m = {}
+    got = {r["node"]: r["hops"] for r in k_hop(e, seeds, k=10, metrics=m).collect()}
+    assert got == {"a": 0, "b": 1}
+    assert m["hops_expanded"] == 1  # early-exited, did not run 10 rounds
+
+
+def test_k_hop_unreachable_nodes_absent(spark):
+    e = _edges(spark, [("a", "b"), ("x", "y")])
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"] for r in k_hop(e, seeds, k=3).collect()}
+    assert got == {"a", "b"}
+
+
+def _brute_triangles(pairs):
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nodes = sorted({n for p in und for n in p})
+    return sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in und and (a, c) in und and (b, c) in und
+    )
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    # K4 on a..d (4 triangles) plus a pendant and a duplicate/reverse/self edge
+    pairs = (
+        [(x, y) for x, y in itertools.combinations("abcd", 2)]
+        + [("d", "e"), ("b", "a"), ("a", "b"), ("e", "e")]
+    )
+    row = triangle_count(_edges(spark, pairs)).collect()[0]
+    assert row["n_triangles"] == _brute_triangles(pairs) == 4
+    assert row["n_nodes"] == 5
+    assert row["n_edges"] == 7  # 6 K4 edges + d-e, dupes/self collapsed
+
+
+def test_triangle_count_hub_graph(spark):
+    # star hub h-.. with one rim edge: exactly 1 triangle; exercises the
+    # degree-orientation path where the hub's raw degree is large
+    pairs = [("h", f"r{i}") for i in range(12)] + [("r0", "r1")]
+    row = triangle_count(_edges(spark, pairs)).collect()[0]
+    assert row["n_triangles"] == 1
+    assert row["n_edges"] == 13
+
+
+def test_triangle_count_no_triangles(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "d")]  # path graph
+    row = triangle_count(_edges(spark, pairs)).collect()[0]
+    assert row["n_triangles"] == 0
+
+
+def test_triangle_wedge_join_is_equi_join(spark):
+    """The closing-edge join must plan as a hash equi-join, never a
+    nested-loop — that is the whole point of carrying the orientation
+    key on the wedge pairs."""
+    from informers_spark.operators.graph import _und_degrees, _wedge_close
+
+    pairs = [(x, y) for x, y in itertools.combinations("abcde", 2)]
+    und = _edges(spark, pairs).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    tri = _wedge_close(und, _und_degrees(und))
+    plan = tri._sc._jvm.PythonSQLUtils.explainString(
+        tri._jdf.queryExecution(), "formatted"
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert tri.count() == 10  # C(5,3) triangles on K5

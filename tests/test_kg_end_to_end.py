@@ -149,3 +149,27 @@ def test_empty_input_runs_all_stages(spark, tmp_path):
     wh = Warehouse(spark, root)
     for t in ["files", "mentions", "embeddings", "triples_raw", "triples"]:
         assert wh.read(t).count() == 0
+
+
+def test_graph_summary_over_materialized_edges(spark, kg):
+    # the analytics layer (operators/graph.py) must run straight off the
+    # edges table build_kg lands, and its node universe must agree with
+    # the job's own nodes table
+    from informers_spark.operators.graph import kg_graph_summary
+
+    root, _ = kg
+    summary, top = kg_graph_summary(spark, root, pagerank_iterations=3, top_n=5)
+    row = summary.collect()[0]
+    n_nodes_tbl = spark.read.parquet(f"{root}/nodes").count()
+    assert row["n_nodes"] == n_nodes_tbl
+    assert row["n_edges"] > 0 and row["n_triangles"] >= 0
+    ranked = top.collect()
+    assert len(ranked) == 5
+    assert all(r["rank"] > 0 for r in ranked)
+    # module entities receive imports in-edges from every importing file,
+    # so the top of the rank order is a module/symbol hub, not a file
+    assert not ranked[0]["node"].startswith("file:")
+
+    # predicate slice = partition pruning on the pred-partitioned table
+    s2, _ = kg_graph_summary(spark, root, preds=["imports"], pagerank_iterations=1, top_n=1)
+    assert s2.collect()[0]["n_edges"] <= row["n_edges"]
