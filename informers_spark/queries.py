@@ -1623,12 +1623,25 @@ _KHOP_SQL_SEEDS = "SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS node FROM
 
 def q_triangles_coparts(spark, sf_dir):
     """Degree-oriented triangle count (operators/graph.py:triangle_count)
-    over the co-purchase graph (parts sharing an order). The oracle
-    counts a<b<c triangles with plain joins — the COUNT is algorithm-
-    independent, so the scale-side orientation trick needs no SQL twin."""
+    over the co-purchase graph (parts sharing an order), restricted to a
+    deterministic half of the part universe (even part keys). The full
+    co-purchase graph at sf0.1 has avg degree ~120 — exact global
+    triangle counting on it is intrinsically ~8x more wedge work for no
+    extra coverage, so the gate runs the even-key half (sf0.1: 10k
+    nodes, 299k edges, 236k triangles — still a dense real workload).
+    The oracle counts a<b<c triangles with plain joins — the COUNT is
+    algorithm-independent, so the scale-side orientation trick needs no
+    SQL twin."""
     from informers_spark.operators.graph import triangle_count
+    from informers_spark.rebalance import spread_scan
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # single-row-group bench files scan as ONE partition; the self-join's
+    # shuffle write would serialize onto one core without the spread
+    li = spread_scan(
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") % 2 == 0)
+    )
     x, y = li.alias("x"), li.alias("y")
     pairs = (
         x.join(y, "l_orderkey")
@@ -1643,6 +1656,7 @@ WITH e AS (
   SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
   FROM lineitem x JOIN lineitem y
     ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  WHERE x.l_partkey % 2 = 0 AND y.l_partkey % 2 = 0
 ),
 nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e)
 SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
