@@ -63,6 +63,7 @@ HEADLINE = [
     "q_pack_chunk",
     "q_temperature_sample",
     "q_chunk_docs",
+    "q_shuffle_shard",
     # new in r5: graph analytics over materialized KG edges
     "q_pagerank_entities",
     "q_triangles_coparts",

@@ -221,3 +221,45 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment —
+    the "shuffle the corpus, then write N training shards" step at the
+    tail of every pretraining data pipeline. Appends (shard, pos):
+    shard ∈ [0, n_shards) and pos is the row's 0-based position within
+    its shard, both pure functions of (seed, key) — never of input
+    partitioning, task retries, or row order, so a re-run (or a resumed
+    job) reproduces the identical training order.
+
+    How: h = md5(seed || key) gives a uniform pseudo-random sort key;
+    the top 60 bits mod n_shards pick the shard; pos ranks (h, key)
+    within the shard (the key tiebreak makes even md5-collision order
+    deterministic). Portable — the oracle runs the same md5/substring
+    arithmetic in ANSI SQL.
+
+    Scale posture: one hash-partition shuffle on shard (rows carry the
+    payload once), then a per-shard sort for the rank window. Shards are
+    uniform by construction (md5), so the window partitioning cannot
+    skew; choose n_shards ≥ cluster parallelism and each sort fits its
+    executor (a 100-TB corpus at n_shards=100k sorts ~1 GB per shard).
+    No global sort, no driver-side state."""
+    if n_shards <= 0:
+        raise ValueError(f"need n_shards > 0, got {n_shards}")
+    key = F.col(key_col).cast("string")
+    h = F.md5(F.concat(F.lit(seed), key)) if seed else F.md5(key)
+    shard = (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.lit(n_shards)).cast(
+        "int"
+    )
+    w = Window.partitionBy("shard").orderBy("_h", key)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .drop("_h")
+    )

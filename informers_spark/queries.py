@@ -787,6 +787,36 @@ FROM starts ORDER BY doc_id, chunk_id
 """
 
 
+def q_shuffle_shard(spark, sf_dir):
+    """Deterministic global training-order shuffle + shard assignment
+    (operators/packing.shuffle_shard): md5(seed||doc_id) orders the
+    corpus pseudo-randomly, the top 60 bits pick 1 of 8 shards, and pos
+    ranks within the shard — the "shuffle then write N training shards"
+    tail of a pretraining pipeline, reproducible across re-runs and
+    partitionings by construction."""
+    from informers_spark.operators.packing import shuffle_shard
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shard(docs, "doc_id", n_shards=8, seed="r5").orderBy(
+        "shard", "pos"
+    )
+
+
+Q_SHUFFLE_SHARD_SQL = """
+WITH h AS (
+  SELECT doc_id, md5('r5' || doc_id::VARCHAR) AS hh FROM documents
+),
+s AS (
+  SELECT doc_id, hh,
+         (('0x' || substring(hh, 1, 15))::UBIGINT % 8)::INTEGER AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id::VARCHAR) - 1)::INTEGER AS pos
+FROM s ORDER BY shard, pos
+"""
+
+
 Q_TEMPERATURE_SAMPLE_SQL = """
 WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
 ps AS (SELECT lang, n, n::DOUBLE / SUM(n) OVER () AS p FROM counts),
@@ -2219,6 +2249,9 @@ QUERIES = {
     "q_pagerank_entities": q_pagerank_entities,
     "q_khop_regions": q_khop_regions,
     "q_triangles_coparts": q_triangles_coparts,
+    # -- brand new in r5: deterministic shuffle-and-shard (training
+    # order), never driver-verified --
+    "q_shuffle_shard": q_shuffle_shard,
     # -- r3-green vision/audio tail rotated back in (VERDICT r04 open
     # item 5): their last driver row is two rounds old --
     "q_image_embed": q_image_embed,
@@ -2381,6 +2414,7 @@ ORACLE_SQL = {
     "q_contamination": Q_CONTAMINATION_SQL,
     "q_pii_scrub": _pii_scrub_sql(),
     "q_pack_chunk": Q_PACK_CHUNK_SQL,
+    "q_shuffle_shard": Q_SHUFFLE_SHARD_SQL,
     "q_temperature_sample": Q_TEMPERATURE_SAMPLE_SQL,
     "q_chunk_docs": Q_CHUNK_DOCS_SQL,
     "q_simhash": _simhash_sql(),

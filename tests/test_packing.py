@@ -186,3 +186,52 @@ def test_chunk_documents_plan_is_shuffle_free(spark):
     # map-only: explode + project, no exchange beyond what the input had
     assert "Exchange hashpartitioning" not in plan
     assert "Sort" not in plan
+
+
+def test_shuffle_shard_deterministic_and_partition_independent(spark):
+    from informers_spark.operators.packing import shuffle_shard
+
+    docs = _docs(spark, [(i, "x") for i in range(200)]).select("doc_id")
+    a = sorted(
+        (r.doc_id, r.shard, r.pos)
+        for r in shuffle_shard(docs, "doc_id", n_shards=4, seed="s").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.shard, r.pos)
+        for r in shuffle_shard(
+            docs.repartition(7), "doc_id", n_shards=4, seed="s"
+        ).collect()
+    )
+    assert a == b  # assignment is a pure function of (seed, key)
+
+
+def test_shuffle_shard_positions_contiguous_and_balanced(spark):
+    from collections import Counter
+
+    from informers_spark.operators.packing import shuffle_shard
+
+    docs = _docs(spark, [(i, "x") for i in range(400)]).select("doc_id")
+    rows = shuffle_shard(docs, "doc_id", n_shards=8).collect()
+    by_shard = Counter(r.shard for r in rows)
+    assert set(by_shard) == set(range(8))
+    # md5 is uniform: no shard more than 2x the mean at n=400
+    assert max(by_shard.values()) <= 2 * 400 / 8
+    for s in range(8):
+        poss = sorted(r.pos for r in rows if r.shard == s)
+        assert poss == list(range(len(poss)))  # 0..n-1, no gaps
+
+
+def test_shuffle_shard_order_changes_with_seed(spark):
+    from informers_spark.operators.packing import shuffle_shard
+
+    docs = _docs(spark, [(i, "x") for i in range(100)]).select("doc_id")
+    a = {(r.doc_id, r.shard, r.pos) for r in shuffle_shard(docs, "doc_id", 4, seed="a").collect()}
+    b = {(r.doc_id, r.shard, r.pos) for r in shuffle_shard(docs, "doc_id", 4, seed="b").collect()}
+    assert a != b
+
+
+def test_shuffle_shard_bad_n_shards_raises(spark):
+    from informers_spark.operators.packing import shuffle_shard
+
+    with pytest.raises(ValueError):
+        shuffle_shard(_docs(spark, [(1, "a")]), "doc_id", 0)
