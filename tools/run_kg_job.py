@@ -27,6 +27,10 @@ def main() -> int:
     p.add_argument("--backend", default="auto")
     p.add_argument("--link-threshold", type=float, default=0.75)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--graph-stats", action="store_true",
+                   help="after the build, run graph analytics over the materialized "
+                        "edges (triangle/degree summary + top PageRank entities) and "
+                        "include them in the emitted metrics JSON")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,6 +60,16 @@ def main() -> int:
         link_threshold=args.link_threshold,
         resume=not args.no_resume,
     )
+    if args.graph_stats:
+        from informers_spark.operators.graph import kg_graph_summary
+
+        summary, top = kg_graph_summary(spark, args.warehouse)
+        metrics["graph"] = {
+            **summary.collect()[0].asDict(),
+            "top_pagerank": [
+                {"node": r.node, "rank": r.rank} for r in top.collect()
+            ],
+        }
     print(json.dumps(metrics, default=str))
     return 0
 
