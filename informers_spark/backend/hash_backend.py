@@ -61,6 +61,23 @@ def _token_vector(token: str, dim: int) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
+def _mm64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Batch-shape-INDEPENDENT matmul: accumulate in float64, quantize to
+    float32. BLAS sgemm picks its blocking (and thus its float summation
+    order) from every matrix dimension including the batch, so the same
+    logical row computed in a different batch drifts by ~1e-7 — enough to
+    flip a frozen-fixture equality gate when partitioning changes batch
+    composition (observed: 3e-8 score drift between local[4] and
+    local[32] after the r5 spread_scan rebalance). A float64
+    accumulation's own ordering noise (~1e-16 relative) sits eight orders
+    below float32 resolution (~6e-8), so quantizing the float64 product
+    down to float32 yields bit-identical rows for ANY batch shape and any
+    partitioning of the corpus. Every batched head matmul in this backend
+    must go through here; per-row matvecs (detect/segment loops) are
+    order-stable by construction and may stay float32."""
+    return (a.astype(np.float64) @ b.astype(np.float64)).astype(np.float32)
+
+
 class HashBackend:
     def __init__(
         self, dim: int = 64, max_tokens: int = 512, vocab=None,
@@ -324,7 +341,7 @@ class HashBackend:
             if ctx:
                 mean = np.mean([self._vec(t) for t in ctx], axis=0)
                 means[i] = mean / (np.linalg.norm(mean) + 1e-9)
-        logits = (8.0 * (means @ vocab_mat.T)).astype(np.float32)  # [b, V]
+        logits = 8.0 * _mm64(means, vocab_mat.T)  # [b, V]; x8 is exact in f32
         return list(self.MASK_VOCAB), logits
 
     # --- generation path -------------------------------------------------------
@@ -398,7 +415,7 @@ class HashBackend:
             if n:
                 mean = (total / n).astype(np.float32)
                 means[i] = mean / (np.linalg.norm(mean) + 1e-9)
-        word_logits = (8.0 * (means @ vocab_mat.T)).astype(np.float32)  # [b, V-1]
+        word_logits = 8.0 * _mm64(means, vocab_mat.T)  # [b, V-1]; x8 exact in f32
         eos = np.array(
             [-6.0 + 1.5 * len(g) for g in generated], dtype=np.float32
         )[:, None]
@@ -462,13 +479,13 @@ class HashBackend:
         w = np.stack([
             _token_vector(f"imgcls:{lbl}", f.shape[1]) for lbl in labels
         ])  # [L, F]
-        return (f @ w.T) / np.sqrt(f.shape[1]), list(labels)
+        return _mm64(f, w.T) / np.sqrt(f.shape[1]), list(labels)
 
     def image_embed(self, pixel_values: np.ndarray) -> np.ndarray:
         """Raw hidden features [B, dim] (ImageFeatureExtraction forward,
         reference pipelines.rb:884-893 returns outputs[0])."""
         f = self._image_feature(pixel_values)
-        return f @ self._proj("imgembed", f.shape[1], self.dim)
+        return _mm64(f, self._proj("imgembed", f.shape[1], self.dim))
 
     def clip_scores(
         self, pixel_values: np.ndarray, texts: list[str], siglip: bool = False
@@ -481,7 +498,7 @@ class HashBackend:
         img = img / (np.linalg.norm(img, axis=1, keepdims=True) + 1e-9)
         txt = self.mean_encode(texts)
         txt = txt / (np.linalg.norm(txt, axis=1, keepdims=True) + 1e-9)
-        return 10.0 * (img @ txt.T)
+        return 10.0 * _mm64(img, txt.T)
 
     def detect_forward(
         self,
@@ -593,7 +610,7 @@ class HashBackend:
         img = img / (np.linalg.norm(img, axis=1, keepdims=True) + 1e-9)
         words = self.GEN_VOCAB[:-1]
         vocab = np.stack([self._vec(t) / np.linalg.norm(self._vec(t)) for t in words])
-        sims = img @ vocab.T
+        sims = _mm64(img, vocab.T)
         order = np.argsort(-sims, axis=1)[:, :top_words]
         return [" ".join(words[j] for j in row) for row in order]
 
@@ -619,17 +636,17 @@ class HashBackend:
         labels = labels or self.AUDIO_LABELS
         f = np.stack([self._audio_feature(wv) for wv in waveforms])
         w = np.stack([_token_vector(f"audcls:{lbl}", f.shape[1]) for lbl in labels])
-        return (f @ w.T) / np.sqrt(f.shape[1]), list(labels)
+        return _mm64(f, w.T) / np.sqrt(f.shape[1]), list(labels)
 
     def clap_scores(self, waveforms: list[np.ndarray], texts: list[str]) -> np.ndarray:
         """logits_per_audio [B, n_texts]: scaled cosine of audio feature
         projection vs text embeddings (CLAP stand-in, pipelines.rb:953-957)."""
         f = np.stack([self._audio_feature(wv) for wv in waveforms])
-        aud = f @ self._proj("audembed", f.shape[1], self.dim)
+        aud = _mm64(f, self._proj("audembed", f.shape[1], self.dim))
         aud = aud / (np.linalg.norm(aud, axis=1, keepdims=True) + 1e-9)
         txt = self.mean_encode(texts)
         txt = txt / (np.linalg.norm(txt, axis=1, keepdims=True) + 1e-9)
-        return 10.0 * (aud @ txt.T)
+        return 10.0 * _mm64(aud, txt.T)
 
     def text_to_waveform(self, texts: list[str], sampling_rate: int = 16000):
         """Vocoder stand-in: each text's mean embedding seeds a short sum

@@ -435,3 +435,42 @@ def test_preprocess_image_pad_preset_dispatch():
     )
     assert out["pixel_values"].shape == (1, 8, 8)
     assert out["pixel_values"][0, 0, 0] == -2.0  # -mean/std fill
+
+
+def test_forward_heads_are_batch_shape_independent():
+    """A row's logits must not depend on which batch it rode in — BLAS
+    sgemm blocking varies with the batch dimension, so every batched
+    head matmul goes through _mm64 (float64 accumulate, float32
+    quantize). Regression for the r5 spread_scan incident: repartitioned
+    inputs changed batch composition and drifted frozen-fixture scores
+    by ~3e-8."""
+    import numpy as np
+
+    from informers_spark.backend.hash_backend import HashBackend
+
+    be = HashBackend()
+    rng = np.random.Generator(np.random.PCG64(7))
+    px = rng.standard_normal((5, 3, 16, 16))
+
+    full, labels = be.image_forward(px)
+    solo = np.concatenate([be.image_forward(px[i : i + 1])[0] for i in range(5)])
+    assert np.array_equal(full, solo)
+
+    texts = ["a cat", "a dog", "a car"]
+    full_clip = be.clip_scores(px, texts)
+    solo_clip = np.concatenate([be.clip_scores(px[i : i + 1], texts) for i in range(5)])
+    assert np.array_equal(full_clip, solo_clip)
+
+    waves = [rng.standard_normal(3000).astype(np.float32) for _ in range(4)]
+    full_aud, _ = be.audio_forward(waves)
+    solo_aud = np.concatenate([be.audio_forward(waves[i : i + 1])[0] for i in range(4)])
+    assert np.array_equal(full_aud, solo_aud)
+
+    full_clap = be.clap_scores(waves, texts)
+    solo_clap = np.concatenate([be.clap_scores(waves[i : i + 1], texts) for i in range(4)])
+    assert np.array_equal(full_clap, solo_clap)
+
+    vocab, full_mask = be.mask_batch(["the [MASK] sat", "a happy [MASK]"], "[MASK]")
+    _, solo0 = be.mask_batch(["the [MASK] sat"], "[MASK]")
+    _, solo1 = be.mask_batch(["a happy [MASK]"], "[MASK]")
+    assert np.array_equal(full_mask, np.concatenate([solo0, solo1]))
