@@ -59,22 +59,27 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     damping: float = 0.85,
+    weight: str | None = None,
     metrics: dict | None = None,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank → (node, rank).
 
-    r_{t+1}(v) = (1-d)/N + d * (Σ_{u→v} r_t(u)/outdeg(u) + dangling_t/N)
+    r_{t+1}(v) = (1-d)/N + d * (Σ_{u→v} r_t(u)·w(u,v)/W(u) + dangling_t/N)
 
-    where dangling_t is the rank mass sitting on nodes with no out-edges,
-    redistributed uniformly (the standard treatment). Fixed `iterations`
-    rather than an epsilon stop makes the result a pure deterministic
-    function of (edges, iterations, damping) — which is what lets the
+    where W(u) is u's out-weight (its out-DEGREE when `weight` is None —
+    classic PageRank) and dangling_t is the rank mass sitting on nodes
+    with no out-edges, redistributed uniformly (the standard treatment).
+    `weight` names a strictly-positive edge column (e.g. the KG edges
+    table's `score`), turning the walk into weighted-proportional link
+    following. Fixed `iterations` rather than an epsilon stop makes the
+    result a pure deterministic function of
+    (edges, weights, iterations, damping) — which is what lets the
     correctness gate unroll the exact same recurrence in SQL.
 
-    Per iteration: one shuffle joining ranks onto the (src, dst, od)
+    Per iteration: one shuffle joining ranks onto the (src, dst, w, od)
     edge table by src, one map-side-combined groupBy(dst), one broadcast
     of the 1-row dangling aggregate, then localCheckpoint to pin the
-    iterate and cut lineage. Out-degrees are joined onto edges ONCE
+    iterate and cut lineage. Out-weights are joined onto edges ONCE
     before the loop, not per-iteration."""
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -87,11 +92,20 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     teleport = (1.0 - damping) / n
 
-    out_deg = edges.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("od"))
+    w_col = (
+        F.col(weight).cast("double") if weight is not None else F.lit(1.0)
+    )
+    out_deg = (
+        edges.select(F.col(src).alias("node"), w_col.alias("w"))
+        .groupBy("node")
+        .agg(F.sum("w").alias("od"))
+    )
     edges_w = (
-        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        edges.select(
+            F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w_col.alias("e_w")
+        )
         .join(out_deg, F.col("e_src") == F.col("node"))
-        .select("e_src", "e_dst", "od")
+        .select("e_src", "e_dst", "e_w", "od")
         .localCheckpoint()  # scanned every iteration
     )
 
@@ -100,7 +114,7 @@ def pagerank(
         contrib = (
             edges_w.join(ranks, F.col("e_src") == F.col("node"))
             .groupBy(F.col("e_dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("od")).alias("contrib"))
+            .agg(F.sum(F.col("rank") * F.col("e_w") / F.col("od")).alias("contrib"))
         )
         # rank mass on dangling nodes (no out-edges): 1-row aggregate,
         # broadcast onto every node — never a driver round-trip inside
@@ -129,14 +143,22 @@ def pagerank(
 
 
 def pagerank_oracle_sql(
-    edges_sql: str, iterations: int = 5, damping: float = 0.85, round_to: int = 6
+    edges_sql: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_to: int = 6,
+    weighted: bool = False,
 ) -> str:
     """Unrolled ANSI-SQL twin of `pagerank` for the DuckDB correctness
     gate: CTE r0 → r1 → … → r{k}, each step the identical recurrence
     with the identical float literals (interpolated from the same Python
     doubles the Spark plan uses, so both engines evaluate the same IEEE
-    constants). `edges_sql` must yield columns (src, dst)."""
+    constants). `edges_sql` must yield columns (src, dst) — plus a
+    strictly-positive `w` when `weighted`, in which case W(u) = SUM(w)
+    and each contribution is rank·w/W(u), mirroring pagerank(weight=...)."""
     d = repr(float(damping))
+    w_expr = "CAST(e.w AS DOUBLE)" if weighted else "1.0"
+    od_expr = "SUM(CAST(w AS DOUBLE))" if weighted else "CAST(COUNT(*) AS DOUBLE)"
     steps = []
     for i in range(1, iterations + 1):
         prev = f"r{i - 1}"
@@ -147,7 +169,7 @@ def pagerank_oracle_sql(
   FROM nodes n
   CROSS JOIN ncount nn
   LEFT JOIN (
-    SELECT e.dst AS node, SUM(r.rank / o.od) AS contrib
+    SELECT e.dst AS node, SUM(r.rank * {w_expr} / o.od) AS contrib
     FROM e JOIN {prev} r ON e.src = r.node JOIN outdeg o ON e.src = o.node
     GROUP BY e.dst
   ) c ON n.node = c.node
@@ -163,7 +185,7 @@ def pagerank_oracle_sql(
 WITH e AS ({edges_sql}),
 nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 ncount AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-outdeg AS (SELECT src AS node, COUNT(*) AS od FROM e GROUP BY src),
+outdeg AS (SELECT src AS node, {od_expr} AS od FROM e GROUP BY src),
 r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, ncount nn),
 {unrolled}
 SELECT node, ROUND(rank, {round_to}) AS rank FROM r{iterations} ORDER BY node

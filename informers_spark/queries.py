@@ -1633,6 +1633,28 @@ def q_pagerank_entities(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
+def q_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank (operators/graph.py:pagerank weight=...): link
+    following proportional to a positive edge weight — the KG edges
+    table's `score` in production; here a deterministic w = 1 + key % 7
+    so every out-neighbor distribution is non-uniform and the gate
+    discriminates the weighted path from classic PageRank."""
+    from informers_spark.operators.graph import pagerank
+
+    ent = _entity_edges(spark, sf_dir).withColumn(
+        "w",
+        (
+            F.lit(1)
+            + F.conv(
+                F.substring(F.md5(F.concat_ws("|", "src", "dst")), 1, 15), 16, 10
+            ).cast("long")
+            % F.lit(7)
+        ).cast("double"),
+    )
+    pr = pagerank(ent, iterations=4, damping=0.85, weight="w")
+    return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
 def q_khop_regions(spark, sf_dir):
     """Min-hop BFS (operators/graph.py:k_hop) from the region nodes over
     the REVERSED entity graph: region →(1) nation →(2) customer/supplier."""
@@ -1645,6 +1667,14 @@ def q_khop_regions(spark, sf_dir):
         F.concat(F.lit("region:"), F.col("r_regionkey").cast("string")).alias("node")
     )
     return k_hop(rev, seeds, k=2).orderBy("node")
+
+
+_WEIGHTED_EDGES_SQL = f"""
+SELECT src, dst,
+       CAST(1 + ('0x' || substring(md5(src || '|' || dst), 1, 15))::UBIGINT % 7
+            AS DOUBLE) AS w
+FROM ({_ENTITY_EDGES_SQL})
+"""
 
 
 _KHOP_SQL_EDGES = f"SELECT dst AS src, src AS dst FROM ({_ENTITY_EDGES_SQL})"
@@ -2247,6 +2277,7 @@ QUERIES = {
     "q_kg_triples_relational": q_kg_triples_relational,
     "q_kg_degrees": q_kg_degrees,
     "q_pagerank_entities": q_pagerank_entities,
+    "q_pagerank_weighted": q_pagerank_weighted,
     "q_khop_regions": q_khop_regions,
     "q_triangles_coparts": q_triangles_coparts,
     # -- brand new in r5: deterministic shuffle-and-shard (training
@@ -2263,7 +2294,6 @@ QUERIES = {
     "q_zero_shot_audio": q_zero_shot_audio,
     "q_text_to_audio": q_text_to_audio,
     "q_doc_qa": q_doc_qa,
-    "q_generate_penalized": q_generate_penalized,
     "q_image_classify": q_image_classify,
     "q_zero_shot_image": q_zero_shot_image,
     "q_object_detect": q_object_detect,
@@ -2324,11 +2354,14 @@ QUERIES = {
     "q_fill_mask_docs": q_fill_mask_docs,
     "q_zero_shot_detect": q_zero_shot_detect,
     "q_exact_dedup": q_exact_dedup,
-    # q_embed_binary_docs: r4-green, demoted to the tail when
-    # q_shuffle_shard took a head slot — its sibling q_embed_docs
-    # (same mean+normalize path; binary wrap is pinned by
-    # test_pipelines) stays in-cap
+    # q_embed_binary_docs / q_generate_penalized: green fixtures,
+    # demoted to the tail when q_shuffle_shard / q_pagerank_weighted
+    # took head slots — their in-cap siblings (q_embed_docs: same
+    # mean+normalize path; q_generate_docs: same decoder loop, the
+    # processor delta is property-tested in test_generation.py) keep
+    # the chains driver-verified
     "q_embed_binary_docs": q_embed_binary_docs,
+    "q_generate_penalized": q_generate_penalized,
     # -- tail (past the ~50-row cap): green in r4 (and earlier). The
     # first two are r5-touched but sibling-covered in-cap
     # (q_minhash_pairs shares the shingle/band path with _fast;
@@ -2378,6 +2411,9 @@ def _graph_oracles() -> dict:
         "q_kg_degrees": _KG_DEGREES_SQL,
         "q_pagerank_entities": pagerank_oracle_sql(
             _ENTITY_EDGES_SQL, iterations=5, damping=0.85
+        ),
+        "q_pagerank_weighted": pagerank_oracle_sql(
+            _WEIGHTED_EDGES_SQL, iterations=4, damping=0.85, weighted=True
         ),
         "q_khop_regions": k_hop_oracle_sql(_KHOP_SQL_EDGES, _KHOP_SQL_SEEDS, k=2),
         "q_triangles_coparts": _TRIANGLES_SQL,

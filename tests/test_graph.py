@@ -30,19 +30,21 @@ def test_degrees_counts_both_directions(spark):
     assert rows["d"].asDict() == {"node": "d", "out_deg": 1, "in_deg": 0, "degree": 1}
 
 
-def _pagerank_reference(pairs, iterations, damping):
-    """Independent dense power iteration with dangling redistribution."""
+def _pagerank_reference(pairs, iterations, damping, weights=None):
+    """Independent dense power iteration with dangling redistribution;
+    `weights` aligns with `pairs` (None = classic unweighted)."""
+    ws = weights or [1.0] * len(pairs)
     nodes = sorted({n for p in pairs for n in p})
     idx = {n: i for i, n in enumerate(nodes)}
     n = len(nodes)
-    out = [0] * n
-    for s, _ in pairs:
-        out[idx[s]] += 1
+    out = [0.0] * n
+    for (s, _), w in zip(pairs, ws):
+        out[idx[s]] += w
     rank = [1.0 / n] * n
     for _ in range(iterations):
         contrib = [0.0] * n
-        for s, d in pairs:
-            contrib[idx[d]] += rank[idx[s]] / out[idx[s]]
+        for (s, d), w in zip(pairs, ws):
+            contrib[idx[d]] += rank[idx[s]] * w / out[idx[s]]
         dangling = sum(r for i, r in enumerate(rank) if out[i] == 0)
         rank = [
             (1.0 - damping) / n + damping * (c + dangling / n) for c in contrib
@@ -58,6 +60,25 @@ def test_pagerank_matches_dense_power_iteration(spark):
     assert set(got) == set(want)
     for node in want:
         assert got[node] == pytest.approx(want[node], abs=1e-12)
+
+
+def test_pagerank_weighted_matches_dense_power_iteration(spark):
+    pairs = [("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("d", "a")]
+    weights = [3.0, 1.0, 2.0, 5.0, 4.0]
+    e = spark.createDataFrame(
+        [(s, d, w) for (s, d), w in zip(pairs, weights)],
+        "src string, dst string, w double",
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(e, iterations=4, weight="w").collect()}
+    want = _pagerank_reference(pairs, iterations=4, damping=0.85, weights=weights)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12)
+    # uniform weights must reproduce the classic unweighted ranks exactly
+    ones = e.withColumn("w", F.lit(1.0))
+    a = sorted((r.node, r.rank) for r in pagerank(ones, iterations=4, weight="w").collect())
+    b = sorted((r.node, r.rank) for r in pagerank(e.drop("w"), iterations=4).collect())
+    assert a == b
 
 
 def test_pagerank_mass_conserved_and_deterministic(spark):
