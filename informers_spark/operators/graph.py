@@ -329,6 +329,7 @@ def kg_graph_summary(
     preds: list[str] | None = None,
     pagerank_iterations: int = 5,
     top_n: int = 20,
+    use_scores: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Analytics over a `build_kg` warehouse's materialized edges table
     → (summary, top_entities).
@@ -339,12 +340,21 @@ def kg_graph_summary(
     job just landed. `preds` filters the edge slice (e.g. ["imports",
     "same_as"]); None = every predicate. The edges table is partitioned
     by pred (plans/kg.py), so a preds filter is partition pruning, not
-    a scan-and-drop."""
+    a scan-and-drop. `use_scores` weights the rank walk by each edge's
+    extraction score (clamped to a small positive floor so a zero-score
+    edge cannot zero a node's out-weight)."""
     edges = spark.read.parquet(f"{warehouse_dir.rstrip('/')}/edges")
     if preds is not None:
         edges = edges.filter(F.col("pred").isin(list(preds)))
-    edges = edges.select("src", "dst")
-    summary = triangle_count(edges)
-    ranks = pagerank(edges, iterations=pagerank_iterations)
+    if use_scores:
+        weighted = edges.select(
+            "src",
+            "dst",
+            F.greatest(F.col("score").cast("double"), F.lit(1e-6)).alias("w"),
+        )
+        ranks = pagerank(weighted, iterations=pagerank_iterations, weight="w")
+    else:
+        ranks = pagerank(edges.select("src", "dst"), iterations=pagerank_iterations)
+    summary = triangle_count(edges.select("src", "dst"))
     top = ranks.orderBy(F.desc("rank"), "node").limit(top_n)
     return summary, top

@@ -173,3 +173,10 @@ def test_graph_summary_over_materialized_edges(spark, kg):
     # predicate slice = partition pruning on the pred-partitioned table
     s2, _ = kg_graph_summary(spark, root, preds=["imports"], pagerank_iterations=1, top_n=1)
     assert s2.collect()[0]["n_edges"] <= row["n_edges"]
+
+    # score-weighted walk: valid ranks summing to 1 over the same nodes
+    _, topw = kg_graph_summary(
+        spark, root, pagerank_iterations=2, top_n=5, use_scores=True
+    )
+    ranked_w = topw.collect()
+    assert len(ranked_w) == 5 and all(r["rank"] > 0 for r in ranked_w)
