@@ -5,6 +5,7 @@ from informers_spark.operators.graph import (  # noqa: F401
     degrees,
     k_hop,
     kg_graph_summary,
+    label_propagation,
     pagerank,
     triangle_count,
 )

@@ -32,7 +32,7 @@ Scale shape (the part that must survive 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -245,6 +245,94 @@ reach(node, hops) AS (
   SELECT e.dst, r.hops + 1 FROM reach r JOIN e ON e.src = r.node WHERE r.hops < {k}
 )
 SELECT node, MIN(hops) AS hops FROM reach GROUP BY node ORDER BY node
+"""
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection → (node, label).
+
+    Edges are treated as undirected (each edge messages both ways).
+    label_0(v) = v; label_{t+1}(v) = the label most frequent among v's
+    neighbors at step t, ties broken by MINIMUM label — the standard
+    deterministic variant (asynchronous LPA is order-dependent and
+    unreproducible; synchronous + min-tie-break is a pure function of
+    (edges, iterations), which is what the oracle unrolls). Fixed
+    iteration count: LPA is used here as a cheap community assignment,
+    not a convergence guarantee (synchronous LPA can 2-cycle on
+    bipartite structures — a bounded iteration count is the standard
+    treatment for that too).
+
+    Per iteration: one equi-join (labels onto the doubled edge list),
+    one map-side-combined groupBy((node, label)) count, one per-node
+    window to pick (max count, min label), then localCheckpoint. The
+    window partitions by node with ≤ degree rows per node — bounded by
+    the hottest node's degree, same skew profile as the degree
+    computation itself."""
+    und = (
+        edges.select(F.col(src).alias("nbr"), F.col(dst).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("nbr"), F.col(src).alias("node")))
+        .filter(F.col("nbr") != F.col("node"))
+        .localCheckpoint()  # scanned every iteration
+    )
+    labels = (
+        und.select("node").distinct().withColumn("label", F.col("node")).localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iterations):
+        counts = (
+            und.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    if metrics is not None:
+        metrics["iterations"] = iterations
+    return labels
+
+
+def label_propagation_oracle_sql(edges_sql: str, iterations: int = 3) -> str:
+    """Unrolled ANSI-SQL twin of `label_propagation`: l0 → l1 → … with
+    the identical (count DESC, label ASC) pick each step. `edges_sql`
+    must yield (src, dst); self-loops are dropped like the operator."""
+    steps = []
+    for i in range(1, iterations + 1):
+        prev = f"l{i - 1}"
+        steps.append(
+            f"""c{i} AS (
+  SELECT u.node, l.label, COUNT(*) AS cnt
+  FROM und u JOIN {prev} l ON u.nbr = l.node
+  GROUP BY u.node, l.label
+),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH e AS ({edges_sql}),
+und AS (
+  SELECT src AS nbr, dst AS node FROM e WHERE src <> dst
+  UNION ALL
+  SELECT dst AS nbr, src AS node FROM e WHERE src <> dst
+),
+l0 AS (SELECT DISTINCT node, node AS label FROM und),
+{unrolled}
+SELECT node, label FROM l{iterations} ORDER BY node
 """
 
 

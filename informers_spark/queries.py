@@ -1681,6 +1681,18 @@ _KHOP_SQL_EDGES = f"SELECT dst AS src, src AS dst FROM ({_ENTITY_EDGES_SQL})"
 _KHOP_SQL_SEEDS = "SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS node FROM region"
 
 
+def q_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation communities over the entity graph
+    (operators/graph.py:label_propagation): 3 fixed iterations,
+    min-label tie-break — integer-exact on both engines, so the oracle
+    is the unrolled recurrence with no float considerations at all."""
+    from informers_spark.operators.graph import label_propagation
+
+    return label_propagation(_entity_edges(spark, sf_dir), iterations=3).orderBy(
+        "node"
+    )
+
+
 def q_triangles_coparts(spark, sf_dir):
     """Degree-oriented triangle count (operators/graph.py:triangle_count)
     over the co-purchase graph (parts sharing an order), restricted to a
@@ -2280,6 +2292,7 @@ QUERIES = {
     "q_pagerank_weighted": q_pagerank_weighted,
     "q_khop_regions": q_khop_regions,
     "q_triangles_coparts": q_triangles_coparts,
+    "q_label_propagation": q_label_propagation,
     # -- brand new in r5: deterministic shuffle-and-shard (training
     # order), never driver-verified --
     "q_shuffle_shard": q_shuffle_shard,
@@ -2289,7 +2302,6 @@ QUERIES = {
     "q_image_segment": q_image_segment,
     "q_depth_docs": q_depth_docs,
     "q_image_caption": q_image_caption,
-    "q_image_to_image": q_image_to_image,
     "q_audio_classify": q_audio_classify,
     "q_zero_shot_audio": q_zero_shot_audio,
     "q_text_to_audio": q_text_to_audio,
@@ -2362,6 +2374,11 @@ QUERIES = {
     # the chains driver-verified
     "q_embed_binary_docs": q_embed_binary_docs,
     "q_generate_penalized": q_generate_penalized,
+    # q_image_to_image: fixture-green (re-frozen r5, full value-check
+    # this session); per-image deterministic upscale with unit tests,
+    # vision mapInPandas chain covered in-cap by its siblings — made
+    # room for q_label_propagation
+    "q_image_to_image": q_image_to_image,
     # -- tail (past the ~50-row cap): green in r4 (and earlier). The
     # first two are r5-touched but sibling-covered in-cap
     # (q_minhash_pairs shares the shingle/band path with _fast;
@@ -2404,7 +2421,11 @@ QUERIES = {
 }
 
 def _graph_oracles() -> dict:
-    from informers_spark.operators.graph import k_hop_oracle_sql, pagerank_oracle_sql
+    from informers_spark.operators.graph import (
+        k_hop_oracle_sql,
+        label_propagation_oracle_sql,
+        pagerank_oracle_sql,
+    )
 
     return {
         "q_kg_triples_relational": _KG_TRIPLES_SQL,
@@ -2416,6 +2437,9 @@ def _graph_oracles() -> dict:
             _WEIGHTED_EDGES_SQL, iterations=4, damping=0.85, weighted=True
         ),
         "q_khop_regions": k_hop_oracle_sql(_KHOP_SQL_EDGES, _KHOP_SQL_SEEDS, k=2),
+        "q_label_propagation": label_propagation_oracle_sql(
+            _ENTITY_EDGES_SQL, iterations=3
+        ),
         "q_triangles_coparts": _TRIANGLES_SQL,
     }
 

@@ -179,3 +179,61 @@ def test_triangle_wedge_join_is_equi_join(spark):
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert tri.count() == 10  # C(5,3) triangles on K5
+
+
+def _lpa_reference(pairs, iterations):
+    """Independent synchronous LPA with (max count, min label) pick."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    labels = {n: n for n in nbrs}
+    for _ in range(iterations):
+        nxt = {}
+        for n in nbrs:
+            cnt = Counter(labels[m] for m in nbrs[n])
+            # tie-break: max count, then MIN label (string order)
+            top = max(cnt.values())
+            nxt[n] = min(l for l, c in cnt.items() if c == top)
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_two_communities(spark):
+    from informers_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge: LPA should settle into two
+    # communities matching the independent reference implementation
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    e = _edges(spark, pairs)
+    m = {}
+    got = {r.node: r.label for r in label_propagation(e, iterations=3, metrics=m).collect()}
+    assert got == _lpa_reference(pairs, 3)
+    assert m == {"iterations": 3}
+    # the two triangle cores agree internally
+    assert got["a"] == got["b"] == got["c"] or len({got["a"], got["b"], got["c"]}) <= 2
+
+
+def test_label_propagation_star_absorbs_min_label(spark):
+    from informers_spark.operators.graph import label_propagation
+
+    # star: after iter1 every rim node takes the hub's label ("h"),
+    # hub takes min rim label; matches reference exactly
+    pairs = [("h", f"r{i}") for i in range(5)]
+    got = {r.node: r.label for r in label_propagation(_edges(spark, pairs), iterations=2).collect()}
+    assert got == _lpa_reference(pairs, 2)
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    from informers_spark.operators.graph import label_propagation
+
+    pairs = [(f"n{i}", f"n{(i * 5 + 2) % 23}") for i in range(40)]
+    e1 = _edges(spark, pairs)
+    e2 = _edges(spark, pairs).repartition(7)
+    a = sorted((r.node, r.label) for r in label_propagation(e1, iterations=3).collect())
+    b = sorted((r.node, r.label) for r in label_propagation(e2, iterations=3).collect())
+    assert a == b
