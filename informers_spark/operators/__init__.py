@@ -7,5 +7,6 @@ from informers_spark.operators.graph import (  # noqa: F401
     kg_graph_summary,
     label_propagation,
     pagerank,
+    personalized_pagerank,
     triangle_count,
 )

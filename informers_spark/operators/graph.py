@@ -142,6 +142,148 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    weight: str | None = None,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Personalized PageRank → (node, rank): the random walk teleports
+    back to the SEED set instead of everywhere, so rank measures
+    proximity to the seeds — the "entities related to X" query over a
+    knowledge graph.
+
+    r_{t+1}(v) = (1-d)·s(v) + d·(Σ_{u→v} r_t(u)·w(u,v)/W(u) + dangling_t·s(v))
+
+    with s(v) = 1/|S| on seeds and 0 elsewhere, r_0 = s. Dangling mass
+    returns to the seeds (the standard PPR treatment — total mass stays
+    1, and nodes unreachable from the seeds stay at exactly 0). The node
+    universe is edge endpoints ∪ seeds, so an isolated seed keeps its
+    teleport share instead of leaking it. Same per-iteration plan shape
+    as `pagerank`; the seed indicator is joined onto the node table ONCE
+    before the loop."""
+    seed_nodes = (
+        seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().localCheckpoint()
+    )
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    sv = 1.0 / n_seeds
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .unionAll(seed_nodes.select("node"))
+        .distinct()
+    )
+    nodes_s = (
+        nodes.join(seed_nodes.withColumn("is_seed", F.lit(True)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("is_seed"), F.lit(sv)).otherwise(F.lit(0.0)).alias("sv"),
+        )
+        .localCheckpoint()
+    )
+
+    w_col = F.col(weight).cast("double") if weight is not None else F.lit(1.0)
+    out_deg = (
+        edges.select(F.col(src).alias("node"), w_col.alias("w"))
+        .groupBy("node")
+        .agg(F.sum("w").alias("od"))
+    )
+    edges_w = (
+        edges.select(
+            F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w_col.alias("e_w")
+        )
+        .join(out_deg, F.col("e_src") == F.col("node"))
+        .select("e_src", "e_dst", "e_w", "od")
+        .localCheckpoint()
+    )
+
+    ranks = nodes_s.select("node", F.col("sv").alias("rank")).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            edges_w.join(ranks, F.col("e_src") == F.col("node"))
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("e_w") / F.col("od")).alias("contrib"))
+        )
+        dangling = (
+            ranks.join(out_deg.select("node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"))
+        )
+        ranks = (
+            nodes_s.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("sv")
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("mass") * F.col("sv"))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    if metrics is not None:
+        metrics["iterations"] = iterations
+        metrics["n_seeds"] = n_seeds
+    return ranks
+
+
+def personalized_pagerank_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_to: int = 6,
+) -> str:
+    """Unrolled ANSI-SQL twin of `personalized_pagerank` (unweighted):
+    identical recurrence, identical float literals; `edges_sql` yields
+    (src, dst), `seeds_sql` yields a single node column."""
+    d = repr(float(damping))
+    one_minus_d = repr(1.0 - float(damping))
+    steps = []
+    for i in range(1, iterations + 1):
+        prev = f"r{i - 1}"
+        steps.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         {one_minus_d} * n.sv + {d} * (COALESCE(c.contrib, 0.0) + dg.mass * n.sv) AS rank
+  FROM svec n
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / o.od) AS contrib
+    FROM e JOIN {prev} r ON e.src = r.node JOIN outdeg o ON e.src = o.node
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+  CROSS JOIN (
+    SELECT COALESCE(SUM(r.rank), 0.0) AS mass
+    FROM {prev} r LEFT JOIN outdeg o ON r.node = o.node
+    WHERE o.node IS NULL
+  ) dg
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH e AS ({edges_sql}),
+seeds AS (SELECT DISTINCT * FROM ({seeds_sql})),
+scount AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM seeds),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+          UNION SELECT node FROM seeds),
+svec AS (
+  SELECT n.node,
+         CASE WHEN sd.node IS NULL THEN 0.0 ELSE 1.0 / sc.s END AS sv
+  FROM nodes n CROSS JOIN scount sc LEFT JOIN seeds sd ON n.node = sd.node
+),
+outdeg AS (SELECT src AS node, COUNT(*) AS od FROM e GROUP BY src),
+r0 AS (SELECT node, sv AS rank FROM svec),
+{unrolled}
+SELECT node, ROUND(rank, {round_to}) AS rank FROM r{iterations} ORDER BY node
+"""
+
+
 def pagerank_oracle_sql(
     edges_sql: str,
     iterations: int = 5,

@@ -1681,6 +1681,22 @@ _KHOP_SQL_EDGES = f"SELECT dst AS src, src AS dst FROM ({_ENTITY_EDGES_SQL})"
 _KHOP_SQL_SEEDS = "SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS node FROM region"
 
 
+def q_ppr_region(spark, sf_dir):
+    """Personalized PageRank (operators/graph.py:personalized_pagerank)
+    seeded at region:0 over the REVERSED entity graph — "entities
+    related to region 0": its nations rank first, their customers and
+    suppliers next, every node under the other regions stays at exactly
+    0 (teleport returns to the seed set, not everywhere)."""
+    from informers_spark.operators.graph import personalized_pagerank
+
+    rev = _entity_edges(spark, sf_dir).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    seeds = spark.createDataFrame([("region:0",)], "node string")
+    pr = personalized_pagerank(rev, seeds, iterations=4, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
 def q_label_propagation(spark, sf_dir):
     """Synchronous label-propagation communities over the entity graph
     (operators/graph.py:label_propagation): 3 fixed iterations,
@@ -2293,6 +2309,7 @@ QUERIES = {
     "q_khop_regions": q_khop_regions,
     "q_triangles_coparts": q_triangles_coparts,
     "q_label_propagation": q_label_propagation,
+    "q_ppr_region": q_ppr_region,
     # -- brand new in r5: deterministic shuffle-and-shard (training
     # order), never driver-verified --
     "q_shuffle_shard": q_shuffle_shard,
@@ -2304,7 +2321,6 @@ QUERIES = {
     "q_image_caption": q_image_caption,
     "q_audio_classify": q_audio_classify,
     "q_zero_shot_audio": q_zero_shot_audio,
-    "q_text_to_audio": q_text_to_audio,
     "q_doc_qa": q_doc_qa,
     "q_image_classify": q_image_classify,
     "q_zero_shot_image": q_zero_shot_image,
@@ -2374,11 +2390,12 @@ QUERIES = {
     # the chains driver-verified
     "q_embed_binary_docs": q_embed_binary_docs,
     "q_generate_penalized": q_generate_penalized,
-    # q_image_to_image: fixture-green (re-frozen r5, full value-check
-    # this session); per-image deterministic upscale with unit tests,
-    # vision mapInPandas chain covered in-cap by its siblings — made
-    # room for q_label_propagation
+    # q_image_to_image / q_text_to_audio: fixture-green (re-frozen r5,
+    # full value-check this session); per-row deterministic synthesis
+    # with unit tests, their mapInPandas chains covered in-cap by
+    # siblings — made room for q_label_propagation / q_ppr_region
     "q_image_to_image": q_image_to_image,
+    "q_text_to_audio": q_text_to_audio,
     # -- tail (past the ~50-row cap): green in r4 (and earlier). The
     # first two are r5-touched but sibling-covered in-cap
     # (q_minhash_pairs shares the shingle/band path with _fast;
@@ -2425,6 +2442,7 @@ def _graph_oracles() -> dict:
         k_hop_oracle_sql,
         label_propagation_oracle_sql,
         pagerank_oracle_sql,
+        personalized_pagerank_oracle_sql,
     )
 
     return {
@@ -2439,6 +2457,12 @@ def _graph_oracles() -> dict:
         "q_khop_regions": k_hop_oracle_sql(_KHOP_SQL_EDGES, _KHOP_SQL_SEEDS, k=2),
         "q_label_propagation": label_propagation_oracle_sql(
             _ENTITY_EDGES_SQL, iterations=3
+        ),
+        "q_ppr_region": personalized_pagerank_oracle_sql(
+            _KHOP_SQL_EDGES,
+            "SELECT 'region:0' AS node",
+            iterations=4,
+            damping=0.85,
         ),
         "q_triangles_coparts": _TRIANGLES_SQL,
     }

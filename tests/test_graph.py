@@ -237,3 +237,58 @@ def test_label_propagation_deterministic_across_partitionings(spark):
     a = sorted((r.node, r.label) for r in label_propagation(e1, iterations=3).collect())
     b = sorted((r.node, r.label) for r in label_propagation(e2, iterations=3).collect())
     assert a == b
+
+
+def _ppr_reference(pairs, seeds, iterations, damping):
+    """Independent dense personalized power iteration."""
+    nodes = sorted({n for p in pairs for n in p} | set(seeds))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = [0] * n
+    for s, _ in pairs:
+        out[idx[s]] += 1
+    sv = [1.0 / len(set(seeds)) if x in set(seeds) else 0.0 for x in nodes]
+    rank = list(sv)
+    for _ in range(iterations):
+        contrib = [0.0] * n
+        for s, d in pairs:
+            contrib[idx[d]] += rank[idx[s]] / out[idx[s]]
+        dangling = sum(r for i, r in enumerate(rank) if out[i] == 0)
+        rank = [
+            (1.0 - damping) * sv[i] + damping * (contrib[i] + dangling * sv[i])
+            for i in range(n)
+        ]
+    return dict(zip(nodes, rank))
+
+
+def test_personalized_pagerank_matches_dense_reference(spark):
+    from informers_spark.operators.graph import personalized_pagerank
+
+    # a->b->c chain reachable from the seed, x->y disconnected,
+    # plus an isolated seed node "s2" not present in the edges
+    pairs = [("a", "b"), ("b", "c"), ("x", "y")]
+    e = _edges(spark, pairs)
+    seeds = spark.createDataFrame([("a",), ("s2",)], "node string")
+    m = {}
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(e, seeds, iterations=4, metrics=m).collect()
+    }
+    want = _ppr_reference(pairs, ["a", "s2"], iterations=4, damping=0.85)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12)
+    assert m == {"iterations": 4, "n_seeds": 2}
+    # mass conserved; nodes unreachable from the seeds are EXACTLY zero
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert got["s2"] > 0  # isolated seed keeps its teleport share
+
+
+def test_personalized_pagerank_empty_seeds_raises(spark):
+    from informers_spark.operators.graph import personalized_pagerank
+
+    e = _edges(spark, [("a", "b")])
+    empty = spark.createDataFrame([], "node string")
+    with pytest.raises(ValueError):
+        personalized_pagerank(e, empty, iterations=2)
