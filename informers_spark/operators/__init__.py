@@ -8,5 +8,6 @@ from informers_spark.operators.graph import (  # noqa: F401
     label_propagation,
     pagerank,
     personalized_pagerank,
+    shortest_paths,
     triangle_count,
 )

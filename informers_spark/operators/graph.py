@@ -478,6 +478,95 @@ SELECT node, label FROM l{iterations} ORDER BY node
 """
 
 
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Bounded-hop (weighted) single-source-set shortest paths →
+    (node, dist): Bellman–Ford iterations of the min-plus recurrence
+
+        dist_{t+1}(v) = min(dist_t(v), min_{u→v}(dist_t(u) + w(u,v)))
+
+    from a seed set at distance 0, exact for every path of ≤ k hops
+    (negative weights are rejected — with them a k-bounded answer is
+    not a distance). Unreached nodes are absent from the result, like
+    `k_hop`. MIN is order-independent and each path's weight sum is
+    accumulated in path order on both engines, so the oracle (a
+    depth-bounded recursive CTE + MIN rollup) matches bit-for-bit even
+    on double weights.
+
+    Per iteration: one equi-join (dists onto edges by src), one
+    map-side-combined groupBy(dst) MIN, a union + second MIN to keep
+    the monotone frontier, then localCheckpoint. Early-exits via a
+    bounded limit(1) probe when an iteration improves nothing."""
+    if k < 0:
+        raise ValueError(f"need k >= 0, got {k}")
+    w_col = F.col(weight).cast("double") if weight is not None else F.lit(1.0)
+    ew = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w_col.alias("w")
+    )
+    neg = ew.filter(F.col("w") < 0).limit(1).collect()
+    if neg:
+        raise ValueError("shortest_paths requires non-negative edge weights")
+    ew = ew.localCheckpoint()  # scanned every iteration
+    dists = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(k):
+        relaxed = (
+            ew.join(dists, F.col("e_src") == F.col("node"))
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+        )
+        nxt = (
+            dists.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        improved = (
+            nxt.alias("n")
+            .join(dists.alias("o"), "node", "left")
+            .filter(F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist")))
+        )
+        if not improved.limit(1).collect():  # bounded probe, never a full count
+            break
+        rounds += 1
+        dists = nxt
+    if metrics is not None:
+        metrics["rounds"] = rounds
+    return dists
+
+
+def shortest_paths_oracle_sql(
+    edges_sql: str, seeds_sql: str, k: int, weighted: bool = False
+) -> str:
+    """Recursive-CTE twin of `shortest_paths`: enumerate all ≤k-hop
+    paths, MIN-rollup per node. `edges_sql` yields (src, dst) plus `w`
+    when `weighted`; `seeds_sql` yields one node column."""
+    w = "CAST(e.w AS DOUBLE)" if weighted else "1.0"
+    return f"""
+WITH RECURSIVE e AS ({edges_sql}),
+seeds AS ({seeds_sql}),
+walk(node, dist, hops) AS (
+  SELECT node, CAST(0.0 AS DOUBLE), 0 FROM (SELECT DISTINCT * FROM seeds)
+  UNION ALL
+  SELECT e.dst, r.dist + {w}, r.hops + 1
+  FROM walk r JOIN e ON e.src = r.node WHERE r.hops < {k}
+)
+SELECT node, MIN(dist) AS dist FROM walk GROUP BY node ORDER BY node
+"""
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle count over an UNDIRECTED graph given as a directed
     edge list (direction ignored; self-loops and duplicate/reverse pairs

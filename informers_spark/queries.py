@@ -1697,6 +1697,43 @@ def q_ppr_region(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
+def q_sssp_regions(spark, sf_dir):
+    """Bounded-hop weighted shortest paths (operators/graph.py:
+    shortest_paths): distance from the region set over the REVERSED
+    entity graph with the portable md5 edge weight — "how far is every
+    entity from its region" under weighted hops. k=2 covers the graph
+    (region →1 nation →2 customer/supplier); MIN is order-independent
+    and path sums fold in path order on both engines, so doubles are
+    exact."""
+    from informers_spark.operators.graph import shortest_paths
+
+    rev = _entity_edges(spark, sf_dir).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    rev = rev.withColumn(
+        "w",
+        (
+            F.lit(1)
+            + F.conv(
+                F.substring(F.md5(F.concat_ws("|", "src", "dst")), 1, 15), 16, 10
+            ).cast("long")
+            % F.lit(7)
+        ).cast("double"),
+    )
+    seeds = _t(spark, sf_dir, "region").select(
+        F.concat(F.lit("region:"), F.col("r_regionkey").cast("string")).alias("node")
+    )
+    return shortest_paths(rev, seeds, k=2, weight="w").orderBy("node")
+
+
+_SSSP_EDGES_SQL = f"""
+SELECT src, dst,
+       CAST(1 + ('0x' || substring(md5(src || '|' || dst), 1, 15))::UBIGINT % 7
+            AS DOUBLE) AS w
+FROM ({_KHOP_SQL_EDGES})
+"""
+
+
 def q_label_propagation(spark, sf_dir):
     """Synchronous label-propagation communities over the entity graph
     (operators/graph.py:label_propagation): 3 fixed iterations,
@@ -2310,6 +2347,7 @@ QUERIES = {
     "q_triangles_coparts": q_triangles_coparts,
     "q_label_propagation": q_label_propagation,
     "q_ppr_region": q_ppr_region,
+    "q_sssp_regions": q_sssp_regions,
     # -- brand new in r5: deterministic shuffle-and-shard (training
     # order), never driver-verified --
     "q_shuffle_shard": q_shuffle_shard,
@@ -2318,7 +2356,6 @@ QUERIES = {
     "q_image_embed": q_image_embed,
     "q_image_segment": q_image_segment,
     "q_depth_docs": q_depth_docs,
-    "q_image_caption": q_image_caption,
     "q_audio_classify": q_audio_classify,
     "q_zero_shot_audio": q_zero_shot_audio,
     "q_doc_qa": q_doc_qa,
@@ -2396,6 +2433,10 @@ QUERIES = {
     # siblings — made room for q_label_propagation / q_ppr_region
     "q_image_to_image": q_image_to_image,
     "q_text_to_audio": q_text_to_audio,
+    # q_image_caption: fixture-green (re-frozen r5, value-checked this
+    # session); its sims path = image_embed (in-cap via q_image_embed)
+    # + vocab ranking — made room for q_sssp_regions
+    "q_image_caption": q_image_caption,
     # -- tail (past the ~50-row cap): green in r4 (and earlier). The
     # first two are r5-touched but sibling-covered in-cap
     # (q_minhash_pairs shares the shingle/band path with _fast;
@@ -2443,6 +2484,7 @@ def _graph_oracles() -> dict:
         label_propagation_oracle_sql,
         pagerank_oracle_sql,
         personalized_pagerank_oracle_sql,
+        shortest_paths_oracle_sql,
     )
 
     return {
@@ -2463,6 +2505,9 @@ def _graph_oracles() -> dict:
             "SELECT 'region:0' AS node",
             iterations=4,
             damping=0.85,
+        ),
+        "q_sssp_regions": shortest_paths_oracle_sql(
+            _SSSP_EDGES_SQL, _KHOP_SQL_SEEDS, k=2, weighted=True
         ),
         "q_triangles_coparts": _TRIANGLES_SQL,
     }

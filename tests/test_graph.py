@@ -292,3 +292,54 @@ def test_personalized_pagerank_empty_seeds_raises(spark):
     empty = spark.createDataFrame([], "node string")
     with pytest.raises(ValueError):
         personalized_pagerank(e, empty, iterations=2)
+
+
+def _sssp_reference(pairs, weights, seeds, k):
+    """Independent bounded Bellman-Ford."""
+    dist = {s: 0.0 for s in seeds}
+    for _ in range(k):
+        nxt = dict(dist)
+        for (s, d), w in zip(pairs, weights):
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    return dist
+
+
+def test_shortest_paths_weighted_matches_bellman_ford(spark):
+    from informers_spark.operators.graph import shortest_paths
+
+    # diamond: a->b->d (1+1=2) vs a->c->d (5+0.5=5.5); plus unreachable z
+    pairs = [("a", "b"), ("b", "d"), ("a", "c"), ("c", "d"), ("y", "z")]
+    weights = [1.0, 1.0, 5.0, 0.5, 2.0]
+    e = spark.createDataFrame(
+        [(s, d, w) for (s, d), w in zip(pairs, weights)],
+        "src string, dst string, w double",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    m = {}
+    got = {r.node: r.dist for r in shortest_paths(e, seeds, k=3, weight="w", metrics=m).collect()}
+    assert got == _sssp_reference(pairs, weights, ["a"], 3)
+    assert got["d"] == 2.0  # shorter 2-hop path wins over heavier direct-ish one
+    assert "z" not in got  # unreachable absent
+    assert m["rounds"] == 2  # third round improves nothing -> early exit
+
+
+def test_shortest_paths_unweighted_equals_hop_counts(spark):
+    from informers_spark.operators.graph import k_hop, shortest_paths
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
+    e = _edges(spark, pairs)
+    seeds = spark.createDataFrame([("a",)], "node string")
+    dists = {r.node: r.dist for r in shortest_paths(e, seeds, k=3).collect()}
+    hops = {r.node: float(r.hops) for r in k_hop(e, seeds, k=3).collect()}
+    assert dists == hops  # unit weights: distance == min-hop count
+
+
+def test_shortest_paths_rejects_negative_weights(spark):
+    from informers_spark.operators.graph import shortest_paths
+
+    e = spark.createDataFrame([("a", "b", -1.0)], "src string, dst string, w double")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError):
+        shortest_paths(e, seeds, k=2, weight="w")
