@@ -399,9 +399,11 @@ def label_propagation(
 ) -> DataFrame:
     """Synchronous label-propagation community detection → (node, label).
 
-    Edges are treated as undirected (each edge messages both ways).
-    label_0(v) = v; label_{t+1}(v) = the label most frequent among v's
-    neighbors at step t, ties broken by MINIMUM label — the standard
+    Edges are treated as undirected (each edge messages both ways), and
+    as a MULTIGRAPH: parallel edges weight the vote — dedupe upstream
+    if simple-graph semantics are wanted (the oracle counts the same
+    way). label_0(v) = v; label_{t+1}(v) = the label most frequent among
+    v's neighbors at step t, ties broken by MINIMUM label — the standard
     deterministic variant (asynchronous LPA is order-dependent and
     unreproducible; synchronous + min-tie-break is a pure function of
     (edges, iterations), which is what the oracle unrolls). Fixed
