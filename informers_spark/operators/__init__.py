@@ -6,6 +6,7 @@ from informers_spark.operators.graph import (  # noqa: F401
     k_hop,
     kg_graph_summary,
     label_propagation,
+    materialize_graph_stats,
     pagerank,
     personalized_pagerank,
     shortest_paths,

@@ -679,3 +679,49 @@ def kg_graph_summary(
     summary = triangle_count(edges.select("src", "dst"))
     top = ranks.orderBy(F.desc("rank"), "node").limit(top_n)
     return summary, top
+
+
+def materialize_graph_stats(
+    spark,
+    warehouse_dir: str,
+    pagerank_iterations: int = 5,
+    lpa_iterations: int = 3,
+    use_scores: bool = False,
+    resume: bool = True,
+) -> dict:
+    """Land the analytics as warehouse TABLES, not just query results:
+    `node_ranks` (node, rank) and `node_communities` (node, label) are
+    written through the same Warehouse as every build_kg stage, so they
+    get lineage manifests, per-stage throughput metrics, and
+    skip-on-resume for free — re-running the job after a crash recomputes
+    only the missing table. Returns {table: manifest} like build_kg."""
+    from informers_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, warehouse_dir)
+    edges = wh.read("edges")
+    if use_scores:
+        ranked_edges = edges.select(
+            "src",
+            "dst",
+            F.greatest(F.col("score").cast("double"), F.lit(1e-6)).alias("w"),
+        )
+        rank_kwargs = {"weight": "w"}
+    else:
+        ranked_edges = edges.select("src", "dst")
+        rank_kwargs = {}
+
+    stages = {
+        "node_ranks": lambda: pagerank(
+            ranked_edges, iterations=pagerank_iterations, **rank_kwargs
+        ),
+        "node_communities": lambda: label_propagation(
+            edges.select("src", "dst"), iterations=lpa_iterations
+        ),
+    }
+    metrics = {}
+    for name, make in stages.items():
+        if resume and wh.is_complete(name):
+            metrics[name] = {**wh.manifest(name), "resumed": True}
+        else:
+            metrics[name] = wh.write(make(), name)
+    return metrics

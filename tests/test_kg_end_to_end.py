@@ -180,3 +180,26 @@ def test_graph_summary_over_materialized_edges(spark, kg):
     )
     ranked_w = topw.collect()
     assert len(ranked_w) == 5 and all(r["rank"] > 0 for r in ranked_w)
+
+
+def test_materialize_graph_stats_resumable(spark, kg):
+    # analytics land as warehouse tables with manifests and resume
+    from informers_spark.operators.graph import materialize_graph_stats
+    from informers_spark.sources.warehouse import Warehouse
+
+    root, _ = kg
+    m1 = materialize_graph_stats(spark, root, pagerank_iterations=2, lpa_iterations=2)
+    assert set(m1) == {"node_ranks", "node_communities"}
+    assert not m1["node_ranks"].get("resumed")
+
+    wh = Warehouse(spark, root)
+    ranks = wh.read("node_ranks")
+    comms = wh.read("node_communities")
+    n_nodes = spark.read.parquet(f"{root}/nodes").count()
+    assert ranks.count() == n_nodes
+    assert comms.count() == n_nodes
+    assert wh.manifest("node_ranks")["rows_per_sec"] is not None
+
+    # second run: both stages skip
+    m2 = materialize_graph_stats(spark, root, pagerank_iterations=2, lpa_iterations=2)
+    assert m2["node_ranks"].get("resumed") and m2["node_communities"].get("resumed")

@@ -31,6 +31,9 @@ def main() -> int:
                    help="after the build, run graph analytics over the materialized "
                         "edges (triangle/degree summary + top PageRank entities) and "
                         "include them in the emitted metrics JSON")
+    p.add_argument("--materialize-graph-stats", action="store_true",
+                   help="write node_ranks and node_communities as warehouse tables "
+                        "(manifest-tracked, skip-on-resume like every build stage)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,6 +63,12 @@ def main() -> int:
         link_threshold=args.link_threshold,
         resume=not args.no_resume,
     )
+    if args.materialize_graph_stats:
+        from informers_spark.operators.graph import materialize_graph_stats
+
+        metrics["graph_tables"] = materialize_graph_stats(
+            spark, args.warehouse, resume=not args.no_resume
+        )
     if args.graph_stats:
         from informers_spark.operators.graph import kg_graph_summary
 
