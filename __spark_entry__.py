@@ -9,7 +9,9 @@ oracle_sql() — DuckDB-equivalent SQL per query (same constants inlined);
                NER has an exact SQL oracle; md5-seeded inference outputs
                (embed / QA / fill-mask / generate / vision / audio) are
                pinned by frozen parquet fixtures wired into oracle_sql()
-               (queries.FIXTURE_QUERIES). Every query has an oracle (r4):
+               (queries.FIXTURE_QUERIES). Every query has an oracle (84
+               queries as of r5, all value-verified at sf0.01 and — for
+               the 63 SQL-oracle ones — at sf0.1):
                q_approx_distinct pins the HLL accuracy invariant (approx
                within 5% of DuckDB's exact count) and q_minhash_pairs_fast
                reuses the portable twin's SQL (the exact-Jaccard verify is
