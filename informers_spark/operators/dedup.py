@@ -172,6 +172,159 @@ def simhash_neardup(
     )
 
 
+def _combinatorial_keep_masks(bits: int, d: int) -> list[int]:
+    """Keep-masks for the generalized-pigeonhole blocking scheme: split
+    `bits` into nb blocks; a pair within hamming distance d differs in at
+    most d blocks, so it agrees exactly on the kept blocks of at least
+    one d-combination. One mask per combination, with that combination's
+    blocks zeroed — join keys are sh & keep_mask.
+
+    nb = 8 blocks keeps C(nb, d) <= 70 for every d while making each key
+    ~(bits - 4d) wide — vastly fewer random collisions than the d+1-band
+    split (whose keys are only bits/(d+1) wide). d = 0 degenerates to a
+    single full-hash key (exact-duplicate grouping)."""
+    import itertools
+
+    nb = max(d + 1, min(8, bits))
+    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    starts = [sum(widths[:i]) for i in range(nb)]
+    block_masks = [((1 << widths[i]) - 1) << starts[i] for i in range(nb)]
+    full = (1 << bits) - 1
+    keeps = []
+    for combo in itertools.combinations(range(nb), d):
+        drop = 0
+        for i in combo:
+            drop |= block_masks[i]
+        keeps.append(full & ~drop)
+    return keeps
+
+
+def _simhash_pairs_clustered(
+    base: DataFrame, d: int, bits: int, bands: int, width: int, max_bucket: int
+) -> DataFrame:
+    """Exact banded-semantics pair enumeration that DECIDES on distinct
+    hashes and MOVES ids once (guide §8's decide-small/move-once shape,
+    valid whenever max_hamming <= bands-1, capped or not).
+
+    Why: the banded self-join's candidate volume is ~N²/2^(bits/bands)
+    — measured 1.39e9 candidate rows at sf1.0 (50k docs, 8-bit band
+    keys) for an output of ~5e6 pairs. Three structural fixes:
+
+    1. All pair decisions run over DISTINCT hashes (measured 13,156 vs
+       50,000 ids at sf1.0; bounded by 2^bits forever), so identical-
+       hash clusters cost one row, not C(m,2) candidate rows.
+    2. Candidate keys are combinatorial-pigeonhole masks (8 blocks,
+       C(8,d) combos, each key keeping ~bits-4d bits) instead of
+       bits/bands-wide band slices: random collisions drop from
+       N²/2^8 to N²/2^23 (measured 1.53e6 candidate hash-pairs — 900x
+       fewer), while recall stays exact for hamming <= d by the same
+       pigeonhole argument.
+    3. The bucket-cap semantics (DISTINCT pairs over SURVIVING (band,
+       key) cells — the DuckDB-oracle contract) are reproduced by a
+       retained-band bitmask per hash: cell sizes aggregate per
+       DISTINCT hash weighted by cluster count, and a candidate pair
+       survives iff some band both MATCHES (slice equality — bit math
+       on the two hashes in hand) and SURVIVED (its bit in the mask;
+       matching band => same cell => either side's mask works).
+
+    id expansion is two hash-keyed equi-joins (cross pairs of two
+    clusters) plus a same-hash self-join (within-cluster pairs,
+    hamming 0) — output-sized work, exactly-once per pair, no
+    distinct over id pairs."""
+    clusters = base.groupBy("sh").agg(F.count("*").alias("cnt")).localCheckpoint()
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("band"),
+                F.shiftright(F.col("sh"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    cells = clusters.select("sh", "cnt", F.explode(band_keys).alias("bk")).select(
+        "sh", "cnt", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    over = (
+        cells.groupBy("band", "key")
+        .agg(F.sum("cnt").alias("_bn"))
+        .filter(F.col("_bn") > max_bucket)
+        .select("band", "key")
+    )
+    if over.limit(1).count() == 0:
+        # nothing capped: every band of every hash survives
+        shs = clusters.select("sh").withColumn("rb", F.lit(-1).cast("long"))
+        capped = False
+    else:
+        shs = (
+            cells.join(F.broadcast(over).withColumn("_c", F.lit(1)), ["band", "key"], "left")
+            .groupBy("sh")
+            .agg(
+                F.sum(
+                    F.when(F.col("_c").isNull(), F.expr("shiftleft(1L, band)")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).alias("rb")
+            )
+        )
+        capped = True
+    # consumed by both candidate-join sides and the same-hash survival set
+    shs = shs.localCheckpoint()
+
+    keeps = _combinatorial_keep_masks(bits, d)
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(ci).cast("int").alias("cb"),
+                F.col("sh").bitwiseAND(F.lit(m)).alias("key"),
+            )
+            for ci, m in enumerate(keeps)
+        ]
+    )
+    cb = shs.select("sh", "rb", F.explode(keys).alias("bk")).select(
+        "sh", "rb", F.col("bk.cb").alias("cb"), F.col("bk.key").alias("key")
+    )
+    x, y = cb.alias("x"), cb.alias("y")
+    sh_pairs = (
+        x.join(y, ["cb", "key"])
+        .filter(F.col("x.sh") < F.col("y.sh"))
+        .select(
+            F.col("x.sh").alias("sha"), F.col("y.sh").alias("shb"), F.col("x.rb").alias("rba")
+        )
+        .withColumn("hamming", hamming_distance(F.col("sha"), F.col("shb"), bits))
+        .filter(F.col("hamming") <= d)
+    )
+    if capped:
+        mask = F.lit((1 << width) - 1)
+        surv = F.lit(False)
+        for i in range(bands):
+            eq_i = (
+                F.shiftright(F.col("sha"), i * width).bitwiseAND(mask)
+                == F.shiftright(F.col("shb"), i * width).bitwiseAND(mask)
+            )
+            surv = surv | (eq_i & (F.col("rba").bitwiseAND(F.lit(1 << i)) != F.lit(0)))
+        sh_pairs = sh_pairs.filter(surv)
+    sh_pairs = sh_pairs.select("sha", "shb", "hamming").distinct()
+
+    ids = base
+    diff = (
+        sh_pairs.join(ids.select(F.col("id").alias("xi"), F.col("sh").alias("sha")), "sha")
+        .join(ids.select(F.col("id").alias("yi"), F.col("sh").alias("shb")), "shb")
+        .select(
+            F.least("xi", "yi").alias("a"), F.greatest("xi", "yi").alias("b"), "hamming"
+        )
+    )
+    sx, sy = ids.alias("sx"), ids.alias("sy")
+    same = sx.join(sy, "sh").filter(F.col("sx.id") < F.col("sy.id"))
+    if capped:
+        same = same.join(shs.filter(F.col("rb") != 0).select("sh"), "sh", "left_semi")
+    same = same.select(
+        F.col("sx.id").alias("a"), F.col("sy.id").alias("b"), F.lit(0).cast("int").alias("hamming")
+    )
+    return same.unionAll(diff)
+
+
 def simhash_pairs_from_hashes(
     base: DataFrame,
     max_hamming: int = 3,
@@ -190,6 +343,14 @@ def simhash_pairs_from_hashes(
     # columns; at cluster scale this is a warehouse-checkpoint stage.
     base = base.localCheckpoint()
     width = (bits + bands - 1) // bands
+    if max_hamming <= bands - 1:
+        # exact-recall regime: the banded candidate set (pairs sharing a
+        # SURVIVING band cell, hamming-verified) is reproduced exactly by
+        # the cluster-level plan — see _simhash_pairs_clustered. Only the
+        # partial-recall regime (max_hamming > bands-1, where the result
+        # is DEFINED as band-collision pairs) still needs the banded
+        # self-join below.
+        return _simhash_pairs_clustered(base, max_hamming, bits, bands, width, max_bucket)
     keys = F.array(
         *[
             F.struct(

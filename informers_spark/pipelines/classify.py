@@ -109,7 +109,14 @@ def zero_shot(
     # assign DIFFERENT ids to the same row (scores attached to the wrong
     # documents). The checkpoint is the stage boundary a warehouse write
     # would give this step on a real pipeline anyway.
-    df = df.withColumn("_zs_id", F.monotonically_increasing_id()).localCheckpoint()
+    # spread the scan BEFORE the checkpoint pins partitioning: the
+    # checkpointed RDD keeps the scan's split count, and every downstream
+    # stage (label explosion, scoring UDF, softmax window) inherits it —
+    # a single-row-group bench file would otherwise serialize the whole
+    # |rows|×|labels| inference onto ONE core (measured sf1.0: 8.9 s ->
+    # ~1.3 s; the crossJoin below is a Join node, so the later
+    # spread_scan(pairs) is a documented no-op and cannot fix it)
+    df = spread_scan(df).withColumn("_zs_id", F.monotonically_increasing_id()).localCheckpoint()
     pairs = df.select("_zs_id", text_col).crossJoin(F.broadcast(labels_df))
 
     schema = T.StructType(

@@ -271,6 +271,37 @@ def test_simhash_pairs_match_distinct_reference_under_capping(spark):
     assert got == _ref_simhash_pairs(hashes, max_hamming=6, max_bucket=20)
 
 
+def test_simhash_pairs_exact_fastpath_matches_bruteforce(spark):
+    """The r6 combinatorial fast path (taken when nothing is capped and
+    max_hamming <= bands-1) must produce exactly the brute-force
+    hamming<=d pair set — including duplicate-hash clusters (pairs at
+    hamming 0) that collide in EVERY combo and are collapsed by the
+    output distinct."""
+    from informers_spark.operators.dedup import simhash_pairs_from_hashes
+
+    hashes = {i: (i * 2654435761) % (1 << 31) for i in range(150)}
+    # near-dup cluster: 6 ids sharing a hash, 3 more within distance 1-2
+    for i in range(6):
+        hashes[500 + i] = 0x12345678 & ((1 << 31) - 1)
+    hashes[600] = hashes[500] ^ 0x1
+    hashes[601] = hashes[500] ^ 0x40000000
+    hashes[602] = hashes[500] ^ 0x00010001
+    df = spark.createDataFrame(list(hashes.items()), "id long, sh long")
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_pairs_from_hashes(df, max_hamming=2, max_bucket=10_000).collect()
+    }
+    want = {
+        (x, y, bin(hx ^ hy).count("1"))
+        for x, hx in hashes.items()
+        for y, hy in hashes.items()
+        if x < y and bin(hx ^ hy).count("1") <= 2
+    }
+    assert got == want
+    # and the uncapped fast path agrees with the banded reference semantics
+    assert got == _ref_simhash_pairs(hashes, max_hamming=2, max_bucket=10_000)
+
+
 def test_asof_join_carries_null_payload_consistently(spark):
     """A right row whose payload value is legitimately NULL must be
     delivered as NULL (not skipped for an older row), and multi-column
