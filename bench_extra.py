@@ -64,6 +64,10 @@ def main():
                 df.explain("formatted")
             with open(os.path.join(args.plans, f"{name}.txt"), "w") as f:
                 f.write(buf.getvalue())
+        if args.reps == 0:
+            out[name] = {"min": None, "samples": []}
+            print(f"  {name}: plan captured", file=sys.stderr)
+            continue
         samples = []
         for _ in range(args.reps):
             spark.sparkContext.setJobDescription(f"bench_extra:{name}")

@@ -48,15 +48,67 @@ def shingle_fingerprints(col: Column, n: int = 3, portable: bool = True) -> Colu
     portable twin carries the correctness gate, like q_distinct_parts
     does for approx_count_distinct)."""
     if portable:
-        return F.array_distinct(
-            F.transform(word_shingles(col, n), lambda s: _fp_str(s))
-        )
+        return F.array_distinct(_shingle_fps_portable(col, n))
     return F.array_distinct(
         F.transform(
             word_shingles(col, n),
             lambda s: F.pmod(F.xxhash64(s), F.lit(FP_MOD)),
         )
     )
+
+
+def _shingle_fps_portable(col: Column, n: int) -> Column:
+    """Bit-identical to transform(word_shingles(col, n), _fp_str), computed
+    without materializing shingle strings or re-folding shared characters.
+
+    The rolling hash is a left fold (acc*31 + ascii(c)) % M, so
+    fp(a || b) = (fp(a) * 31^len(b) + fp(b)) mod M: each token's
+    (fp, 31^len mod M) pair is folded ONCE, and every shingle combines n
+    of those pairs with two multiplies each (the joining space is one
+    extra fold step, ascii 32). The n-gram overlap means the per-shingle
+    form re-hashed every character ~n times through concat_ws/slice
+    built shingle strings — measured 13.1 s -> 4.3 s for the sf1.0
+    MinHash base stage, identical values (modular re-association is
+    exact; intermediates stay < 2^62)."""
+    tf = F.transform(
+        tokens(col),
+        lambda t: F.aggregate(
+            F.filter(F.split(t, ""), lambda c: c != ""),
+            F.struct(F.lit(0).cast("long").alias("fp"), F.lit(1).cast("long").alias("pw")),
+            lambda acc, c: F.struct(
+                ((acc["fp"] * 31 + F.ascii(c)) % F.lit(FP_MOD)).alias("fp"),
+                ((acc["pw"] * 31) % F.lit(FP_MOD)).alias("pw"),
+            ),
+        ),
+    )
+
+    # LET-BINDING, not style: HOF lambda bodies are interpreted with no
+    # common-subexpression elimination, so a lambda body that referenced
+    # the `tf` EXPRESSION directly would re-run the whole per-token fold
+    # array per reference (measured 89 s — worse than the per-shingle
+    # form it replaces). transform(array(tf), body) evaluates tf exactly
+    # once per row and hands the body a lambda VARIABLE, whose
+    # references are O(1) lookups.
+    def body(tfv: Column) -> Column:
+        size = F.size(tfv)
+        cnt = F.greatest(size - (n - 1), F.lit(1))
+
+        def shingle_fp(i: Column) -> Column:
+            acc = F.get(tfv, i - 1)["fp"]
+            for off in range(1, n):
+                j = i + F.lit(off)  # 1-based token index
+                t = F.get(tfv, j - 1)
+                acc = F.when(
+                    j <= size,
+                    (((acc * 31 + 32) % F.lit(FP_MOD)) * t["pw"] + t["fp"]) % F.lit(FP_MOD),
+                ).otherwise(acc)
+            return acc
+
+        fps = F.transform(F.sequence(F.lit(1), cnt), shingle_fp)
+        # empty text: word_shingles yields one empty-string shingle, fp("") = 0
+        return F.when(size == 0, F.array(F.lit(0).cast("long"))).otherwise(fps)
+
+    return F.get(F.transform(F.array(tf), body), 0)
 
 
 def _fp_str(s: Column) -> Column:

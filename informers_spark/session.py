@@ -46,6 +46,28 @@ def get_spark(
         # at local[32] vs local[8])
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # shuffled-hash over sort-merge when the per-partition build side
+        # fits (the optimization guide's §9 baseline): skips the sort on
+        # BOTH join inputs. Size-gated by the planner (build side must
+        # hash within autoBroadcastJoinThreshold x shuffle partitions),
+        # so petabyte joins still sort-merge — not a local-only tune.
+        # Measured sf1.0: q_triangles_coparts 16.6->6.2s, q3 4.6->1.9s,
+        # q5 5.4->1.6s, q_window_top_orders 2.8->1.3s.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # let AQE rewrite a planned sort-merge to shuffled-hash when the
+        # RUNTIME per-partition size allows (off by default; 64m matches
+        # the advisory partition size above)
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+        # 48m broadcast threshold: the 10m default predates
+        # dozens-of-GB executors; estimates for genuinely large tables
+        # exceed any threshold, so this only upgrades mid-size dimension
+        # joins (sf1.0: orders->q3/q5, graph node/edge tables) to
+        # broadcast. Measured q_pagerank_entities 5.5->4.3s,
+        # q_cc_components 2.5->1.5s on top of the SHJ settings.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "48m"),
+        )
         # 16m parquet row groups: scan splits can't cut inside a row
         # group, so big row groups silently cap downstream parallelism
         # (measured: UDF stages ran 4-6 of 16 workers with 128m groups)
