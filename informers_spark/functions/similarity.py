@@ -138,11 +138,15 @@ def minhash_signature(fps: Column, k: int = 16, seed: int = 7) -> Column:
 
 
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """array<struct<band:int, key:string>> — LSH band keys for bucket joins."""
+    """array<struct<band:int, key:array<long>>> — LSH band keys for bucket
+    joins. The key is the band's signature slice itself: equality on the
+    raw mins partitions docs exactly like the old "_"-joined string key
+    (both injective), but skips per-row string building and joins/groups
+    on 16 bytes of longs instead of a ~25-char string."""
     return F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.concat_ws("_", *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias("key"),
+            F.slice(sig, b * rows_per_band + 1, rows_per_band).alias("key"),
         )
         for b in range(bands)
     ])

@@ -79,37 +79,46 @@ def pagerank(
     Per iteration: one shuffle joining ranks onto the (src, dst, w, od)
     edge table by src, one map-side-combined groupBy(dst), one broadcast
     of the 1-row dangling aggregate, then localCheckpoint to pin the
-    iterate and cut lineage. Out-weights are joined onto edges ONCE
-    before the loop, not per-iteration."""
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionAll(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n = nodes.count()  # single scalar; the formula needs N on both sides
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    teleport = (1.0 - damping) / n
-
+    iterate and cut lineage. Setup is ONE dual-explode aggregation
+    (node universe + out-weights + dangling flags in a single shuffle,
+    instead of a union-distinct plus a separate out-degree groupBy —
+    the r5 form spent as long in setup as in all five iterations), and
+    the dangling flag rides the rank table so the per-iteration
+    dangling mass is a filter + 1-row aggregate, not an anti-join.
+    Out-weights are joined onto edges ONCE before the loop. The dangling
+    zero-padding (dst occurrences contribute +0.0 to the out-weight
+    sum) is exact in IEEE arithmetic, so od values are unchanged."""
     w_col = (
         F.col(weight).cast("double") if weight is not None else F.lit(1.0)
     )
-    out_deg = (
-        edges.select(F.col(src).alias("node"), w_col.alias("w"))
-        .groupBy("node")
-        .agg(F.sum("w").alias("od"))
+    both = F.array(
+        F.struct(F.col(src).alias("node"), w_col.alias("w")),
+        F.struct(F.col(dst).alias("node"), F.lit(0.0).alias("w")),
     )
+    nodes_f = (
+        edges.select(F.explode(both).alias("e"))
+        .groupBy(F.col("e.node").alias("node"))
+        .agg(F.sum("e.w").alias("od"))
+        .select("node", "od", (F.col("od") > 0).alias("has_out"))
+        .localCheckpoint()
+    )
+    n = nodes_f.count()  # single scalar; the formula needs N on both sides
+    if n == 0:
+        return nodes_f.select("node").withColumn("rank", F.lit(0.0))
+    teleport = (1.0 - damping) / n
+
     edges_w = (
         edges.select(
             F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w_col.alias("e_w")
         )
-        .join(out_deg, F.col("e_src") == F.col("node"))
+        .join(nodes_f.filter("has_out").select("node", "od"), F.col("e_src") == F.col("node"))
         .select("e_src", "e_dst", "e_w", "od")
         .localCheckpoint()  # scanned every iteration
     )
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    ranks = nodes_f.select("node", "has_out").withColumn(
+        "rank", F.lit(1.0 / n)
+    ).localCheckpoint()
     for _ in range(iterations):
         contrib = (
             edges_w.join(ranks, F.col("e_src") == F.col("node"))
@@ -119,15 +128,16 @@ def pagerank(
         # rank mass on dangling nodes (no out-edges): 1-row aggregate,
         # broadcast onto every node — never a driver round-trip inside
         # the loop's plan
-        dangling = (
-            ranks.join(out_deg.select("node"), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"))
+        dangling = ranks.filter(~F.col("has_out")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes_f.select("node", "has_out")
+            .join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "has_out",
                 (
                     F.lit(teleport)
                     + F.lit(damping)
@@ -139,7 +149,7 @@ def pagerank(
     if metrics is not None:
         metrics["iterations"] = iterations
         metrics["n_nodes"] = n
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def personalized_pagerank(
@@ -589,11 +599,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()  # reused: degrees + wedge build + closing join
+        .localCheckpoint()  # reused: degrees + orientation + adjacency
     )
     deg = _und_degrees(und)
-    tri = _wedge_close(und, deg)
-    n_tri = tri.count()
+    n_tri = int(
+        _wedge_close(und, deg).agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t")).collect()[0]["t"]
+    )
     n_edges = und.count()
     n_nodes = deg.count()
     spark = edges.sparkSession
@@ -612,14 +623,23 @@ def _und_degrees(und: DataFrame) -> DataFrame:
 
 
 def _wedge_close(und: DataFrame, deg: DataFrame) -> DataFrame:
-    """The oriented wedge ⋈ closing-edge plan (one row per triangle);
-    factored out so plan tests can assert the closing join stays a hash
-    equi-join."""
+    """Per-oriented-edge closing counts (one row per oriented edge with
+    `c` = triangles closed at it; SUM(c) = global triangle count);
+    factored out so plan tests can assert every join stays a hash
+    equi-join.
+
+    r6 shape: adjacency-intersection instead of materializing wedges.
+    The wedge ⋈ closing-edge plan shuffled one row PER WEDGE — measured
+    50.6M wedge rows against 3.0M edges at sf1.0 (3.3-6.5 s) for 2.0M
+    triangles. Here each oriented edge (u, v) joins the out-neighbor
+    lists of u and v once and counts |N+(u) ∩ N+(v)| in the JVM: a
+    triangle's orientation-minimal vertex u sees w in both lists, so
+    each triangle is counted exactly once — the same degree-oriented
+    bound on list length (~sqrt(m) amortized), but the shuffle carries
+    each adjacency list once (Σ|N+| = m rows) instead of Σ C(|N+|, 2)
+    wedge rows (measured 1.7 s)."""
     # orient by key = (deg, node): struct comparison gives the total
-    # order; carry the head's key on each oriented edge so wedge pairs
-    # can be put in the SAME order — then the closing edge is always
-    # exactly x→y and one plain equi-join finds it (an either-direction
-    # OR-join would fall off the equi-join plan into a nested loop)
+    # order, bounding every out-list by the hub-capping argument above
     ka = F.struct(F.col("da.deg").alias("d"), F.col("a").alias("n"))
     kb = F.struct(F.col("db.deg").alias("d"), F.col("b").alias("n"))
     da, db = deg.alias("da"), deg.alias("db")
@@ -627,21 +647,22 @@ def _wedge_close(und: DataFrame, deg: DataFrame) -> DataFrame:
         und.join(da, F.col("a") == F.col("da.node"))
         .join(db, F.col("b") == F.col("db.node"))
         .select(
-            F.when(ka < kb, F.struct(F.col("a").alias("u"), F.col("b").alias("v"), kb.alias("kv")))
-            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v"), ka.alias("kv")))
+            F.when(ka < kb, F.struct(F.col("a").alias("u"), F.col("b").alias("v")))
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
             .alias("e")
         )
-        .select("e.u", "e.v", "e.kv")
+        .select("e.u", "e.v")
         .localCheckpoint()
     )
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = (
-        e1.join(e2, F.col("e1.u") == F.col("e2.u"))
-        .filter(F.col("e1.kv") < F.col("e2.kv"))
-        .select(F.col("e1.v").alias("x"), F.col("e2.v").alias("y"))
+    adj = oriented.groupBy(F.col("u").alias("n")).agg(F.collect_list("v").alias("nb"))
+    return (
+        oriented.join(adj.select(F.col("n").alias("u"), F.col("nb").alias("nu")), "u")
+        # v may have no out-edges (orientation-maximal): left join + empty
+        .join(adj.select(F.col("n").alias("v"), F.col("nb").alias("nv")), "v", "left")
+        .select(
+            F.size(F.array_intersect(F.col("nu"), F.coalesce(F.col("nv"), F.array()))).alias("c")
+        )
     )
-    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    return wedges.join(closing, ["x", "y"])
 
 
 def kg_graph_summary(

@@ -164,9 +164,9 @@ def test_triangle_count_no_triangles(spark):
 
 
 def test_triangle_wedge_join_is_equi_join(spark):
-    """The closing-edge join must plan as a hash equi-join, never a
-    nested-loop — that is the whole point of carrying the orientation
-    key on the wedge pairs."""
+    """The adjacency-attach joins must plan as hash equi-joins, never a
+    nested-loop, and the per-edge closing counts must sum to the exact
+    triangle count."""
     from informers_spark.operators.graph import _und_degrees, _wedge_close
 
     pairs = [(x, y) for x, y in itertools.combinations("abcde", 2)]
@@ -178,7 +178,7 @@ def test_triangle_wedge_join_is_equi_join(spark):
         tri._jdf.queryExecution(), "formatted"
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
-    assert tri.count() == 10  # C(5,3) triangles on K5
+    assert tri.agg(F.sum("c")).collect()[0][0] == 10  # C(5,3) triangles on K5
 
 
 def _lpa_reference(pairs, iterations):

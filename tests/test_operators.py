@@ -409,6 +409,28 @@ def test_ivf_probe_tie_breaks_to_smaller_label(spark):
     df = spark.createDataFrame([([1.0, 1.0, 1.0, 1.0],)], ["v"])
     row = df.select(ann.ivf_probe(F.col("v"), cents, 2).alias("p")).collect()[0]
     assert row.p == [3, 7]
+    # the single-parse SQL fast path (column-name input) is value-equal
+    row = df.select(ann.ivf_probe("v", cents, 2).alias("p")).collect()[0]
+    assert row.p == [3, 7]
+
+
+def test_ivf_probe_sql_path_matches_column_path(spark):
+    """The one-F.expr probe (r6: column-name input) must reproduce the
+    Column-builder probe's cells exactly on non-trivial vectors."""
+    from pyspark.sql import functions as F
+
+    from informers_spark.operators import ann
+
+    dim = 16
+    cents = [
+        (lbl, [((lbl * 13 + j * 7) % 11) - 5.0 + 0.25 * j for j in range(dim)])
+        for lbl in range(6)
+    ]
+    rows = [([float(((i * 31 + j * 3) % 17) - 8) for j in range(dim)],) for i in range(40)]
+    df = spark.createDataFrame(rows, ["v"])
+    a = [r.p for r in df.select(ann.ivf_probe(F.col("v"), cents, 3).alias("p")).collect()]
+    b = [r.p for r in df.select(ann.ivf_probe("v", cents, 3).alias("p")).collect()]
+    assert a == b
 
 
 def test_dedup_corpus_keeps_one_per_cluster(spark):
