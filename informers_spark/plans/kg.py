@@ -117,26 +117,65 @@ def build_kg(
         rebalance=False,
     )
 
-    # 2. mentions (NER inference — runs on scan partitioning; no shuffle
-    # before OR after: the UDF output inherits the scan's split sizing,
-    # so a pre-write REBALANCE would only add a full shuffle of the data)
-    mentions = stage(
-        "mentions", lambda: mentions_table(files_t, backend=backend), rebalance=False
-    )
+    # 2+3. mentions (NER) and embeddings — both map-only inference over
+    # files_t with no dependency on each other, so they run from two
+    # driver threads (guide §2.6: actions are only sequential because
+    # the driver calls them sequentially): the second job's tasks
+    # back-fill executors as the first one's tail drains. No shuffle
+    # before OR after either stage: the UDF output inherits the scan's
+    # split sizing, so a pre-write REBALANCE would only add a full
+    # shuffle of the data. Same thread pattern as the nodes/edges
+    # materialization below.
+    import threading
 
-    # 3. embeddings (same: map-only over the scan, write in place)
-    embeddings = stage(
-        "embeddings",
-        lambda: embed(
+    errors: list[BaseException] = []
+    stage_out: dict[str, DataFrame] = {}
+
+    def run_stage(name, make, partition_by=None, rebalance=True):
+        try:
+            stage_out[name] = stage(
+                name, make, partition_by=partition_by, rebalance=rebalance
+            )
+        except BaseException as e:  # surface thread failures to the caller
+            errors.append(e)
+
+    def _join_threads(threads, what):
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if len(errors) == 1:
+            raise errors[0]
+        if errors:
+            raise ExceptionGroup(f"parallel {what} stages failed", errors)
+
+    def make_embeddings():
+        return embed(
             files_t.select(
                 "repo", "path", "commit", "content_sha256",
                 F.col("content").alias("text"),
             ),
             text_col="text",
             backend=backend,
-        ).drop("text"),
-        rebalance=False,
+        ).drop("text")
+
+    _join_threads(
+        [
+            threading.Thread(
+                target=run_stage,
+                args=("mentions", lambda: mentions_table(files_t, backend=backend)),
+                kwargs={"rebalance": False},
+            ),
+            threading.Thread(
+                target=run_stage,
+                args=("embeddings", make_embeddings),
+                kwargs={"rebalance": False},
+            ),
+        ],
+        "mentions/embeddings",
     )
+    mentions = stage_out["mentions"]
+    embeddings = stage_out["embeddings"]  # noqa: F841  (read for resume parity)
 
     # 4. raw triples: structural ∪ mentions
     def make_raw():
@@ -155,14 +194,6 @@ def build_kg(
             )
         )
 
-    # rebalance=False: this stage ENDS in a shuffle aggregate, so AQE's
-    # coalescing already sizes the output partitions to the advisory
-    # target — the REBALANCE hint only appends a second exchange after
-    # the agg (measured 2x the stage wall at n=4M: 32.1s -> 16.9s).
-    # The hint earns its cost only on map-only stages, where without it
-    # every scan task writes its own file.
-    triples_raw = stage("triples_raw", make_raw, rebalance=False)
-
     # 5. entity linking over distinct mention surfaces — SAME typed-group
     # filter as the mention triples in stage 4: linking (and embedding)
     # a surface that can never appear in the graph wastes inference and
@@ -175,16 +206,45 @@ def build_kg(
         )
         return link_entities(surfaces, threshold=link_threshold, backend=backend)
 
-    # same_as ends in a window over a shuffle — AQE-sized; skip rebalance
-    same_as = stage("same_as", make_same_as, rebalance=False)
-
-    # 6. canonicalization (convergence surfaces in stage metrics; a
-    # non-converged run raises inside the operator rather than emitting
-    # silently-wrong same_as labels)
+    # 4 ∥ (5 → 6): triples_raw needs only mentions; the linking →
+    # canonicalization chain needs only mentions too and is the longer
+    # leg — overlapping them hides the shorter write entirely (same
+    # guide §2.6 back-fill rationale as above).
+    # triples_raw rebalance=False: the stage ENDS in a shuffle
+    # aggregate, so AQE's coalescing already sizes the output
+    # partitions to the advisory target — the REBALANCE hint only
+    # appends a second exchange after the agg (measured 2x the stage
+    # wall at n=4M: 32.1s -> 16.9s). The hint earns its cost only on
+    # map-only stages, where without it every scan task writes its own
+    # file. same_as ends in a window over a shuffle — AQE-sized; skip
+    # rebalance there too.
     cc_metrics: dict = {}
-    components = stage(
-        "components", lambda: connected_components(same_as, metrics=cc_metrics)
+
+    def run_link_chain():
+        try:
+            same_as = stage("same_as", make_same_as, rebalance=False)
+            # 6. canonicalization (convergence surfaces in stage
+            # metrics; a non-converged run raises inside the operator
+            # rather than emitting silently-wrong same_as labels)
+            stage_out["components"] = stage(
+                "components", lambda: connected_components(same_as, metrics=cc_metrics)
+            )
+        except BaseException as e:
+            errors.append(e)
+
+    _join_threads(
+        [
+            threading.Thread(
+                target=run_stage,
+                args=("triples_raw", make_raw),
+                kwargs={"rebalance": False},
+            ),
+            threading.Thread(target=run_link_chain),
+        ],
+        "triples_raw/linking",
     )
+    triples_raw = stage_out["triples_raw"]
+    components = stage_out["components"]
     if cc_metrics:
         metrics["components"].update(cc_metrics)
 
@@ -228,32 +288,16 @@ def build_kg(
             F.col("subj").alias("src"), F.col("obj").alias("dst"), "pred", "score"
         )
 
-    import threading
-
-    errors: list[BaseException] = []
-
-    def run_stage(name, make, partition_by=None, rebalance=True):
-        try:
-            stage(name, make, partition_by=partition_by, rebalance=rebalance)
-        except BaseException as e:  # surface thread failures to the caller
-            errors.append(e)
-
-    threads = [
-        # nodes ends in a shuffle (distinct) — AQE sizing applies, skip
-        # the redundant rebalance exchange (same reasoning as triples_raw)
-        threading.Thread(
-            target=run_stage, args=("nodes", make_nodes), kwargs={"rebalance": False}
-        ),
-        threading.Thread(target=run_stage, args=("edges", make_edges, ["pred"])),
-    ]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    if len(errors) == 1:
-        raise errors[0]
-    if errors:
-        # both writes failed — surface BOTH causes (a dual failure often
-        # has two distinct roots, e.g. dir perms vs partition schema)
-        raise ExceptionGroup("parallel nodes/edges materialization failed", errors)
+    _join_threads(
+        [
+            # nodes ends in a shuffle (distinct) — AQE sizing applies,
+            # skip the redundant rebalance exchange (same reasoning as
+            # triples_raw)
+            threading.Thread(
+                target=run_stage, args=("nodes", make_nodes), kwargs={"rebalance": False}
+            ),
+            threading.Thread(target=run_stage, args=("edges", make_edges, ["pred"])),
+        ],
+        "nodes/edges",
+    )
     return metrics
