@@ -231,7 +231,7 @@ def _simhash_pairs_clustered(
     clusters) plus a same-hash self-join (within-cluster pairs,
     hamming 0) — output-sized work, exactly-once per pair, no
     distinct over id pairs."""
-    clusters = base.groupBy("sh").agg(F.count("*").alias("cnt")).localCheckpoint()
+    clusters = base.groupBy("sh").agg(F.count("*").alias("cnt"))
     band_keys = F.array(
         *[
             F.struct(
@@ -252,23 +252,22 @@ def _simhash_pairs_clustered(
         .filter(F.col("_bn") > max_bucket)
         .select("band", "key")
     )
-    if over.limit(1).count() == 0:
-        # nothing capped: every band of every hash survives
-        shs = clusters.select("sh").withColumn("rb", F.lit(-1).cast("long"))
-        capped = False
-    else:
-        shs = (
-            cells.join(F.broadcast(over).withColumn("_c", F.lit(1)), ["band", "key"], "left")
-            .groupBy("sh")
-            .agg(
-                F.sum(
-                    F.when(F.col("_c").isNull(), F.expr("shiftleft(1L, band)")).otherwise(
-                        F.lit(0).cast("long")
-                    )
-                ).alias("rb")
-            )
+    # retained-band bitmask per hash, computed unconditionally: in the
+    # common uncapped case `over` is empty and rb = all bands set, so
+    # the survival filters below are vacuously true — ONE plan for both
+    # regimes, and no driver-side cap probe job (the r6 first cut spent
+    # a limit(1).count() round-trip deciding which branch to build).
+    shs = (
+        cells.join(F.broadcast(over).withColumn("_c", F.lit(1)), ["band", "key"], "left")
+        .groupBy("sh")
+        .agg(
+            F.sum(
+                F.when(F.col("_c").isNull(), F.expr("shiftleft(1L, band)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("rb")
         )
-        capped = True
+    )
     # consumed by both candidate-join sides and the same-hash survival set
     shs = shs.localCheckpoint()
 
@@ -295,17 +294,15 @@ def _simhash_pairs_clustered(
         .withColumn("hamming", hamming_distance(F.col("sha"), F.col("shb"), bits))
         .filter(F.col("hamming") <= d)
     )
-    if capped:
-        mask = F.lit((1 << width) - 1)
-        surv = F.lit(False)
-        for i in range(bands):
-            eq_i = (
-                F.shiftright(F.col("sha"), i * width).bitwiseAND(mask)
-                == F.shiftright(F.col("shb"), i * width).bitwiseAND(mask)
-            )
-            surv = surv | (eq_i & (F.col("rba").bitwiseAND(F.lit(1 << i)) != F.lit(0)))
-        sh_pairs = sh_pairs.filter(surv)
-    sh_pairs = sh_pairs.select("sha", "shb", "hamming").distinct()
+    mask = F.lit((1 << width) - 1)
+    surv = F.lit(False)
+    for i in range(bands):
+        eq_i = (
+            F.shiftright(F.col("sha"), i * width).bitwiseAND(mask)
+            == F.shiftright(F.col("shb"), i * width).bitwiseAND(mask)
+        )
+        surv = surv | (eq_i & (F.col("rba").bitwiseAND(F.lit(1 << i)) != F.lit(0)))
+    sh_pairs = sh_pairs.filter(surv).select("sha", "shb", "hamming").distinct()
 
     ids = base
     diff = (
@@ -316,9 +313,11 @@ def _simhash_pairs_clustered(
         )
     )
     sx, sy = ids.alias("sx"), ids.alias("sy")
-    same = sx.join(sy, "sh").filter(F.col("sx.id") < F.col("sy.id"))
-    if capped:
-        same = same.join(shs.filter(F.col("rb") != 0).select("sh"), "sh", "left_semi")
+    same = (
+        sx.join(sy, "sh")
+        .filter(F.col("sx.id") < F.col("sy.id"))
+        .join(shs.filter(F.col("rb") != 0).select("sh"), "sh", "left_semi")
+    )
     same = same.select(
         F.col("sx.id").alias("a"), F.col("sy.id").alias("b"), F.lit(0).cast("int").alias("hamming")
     )
