@@ -735,8 +735,21 @@ def materialize_graph_stats(
         "node_ranks": lambda: pagerank(
             ranked_edges, iterations=pagerank_iterations, **rank_kwargs
         ),
-        "node_communities": lambda: label_propagation(
-            edges.select("src", "dst"), iterations=lpa_iterations
+        # label_propagation ignores self-loops (filter nbr != node), so a
+        # node appearing ONLY in self-loops would be absent from its
+        # output while node_ranks covers every endpoint; left-join onto
+        # the full endpoint set with a self-label fallback so both tables
+        # always cover the same node universe.
+        "node_communities": lambda: (
+            edges.select(F.col("src").alias("node"))
+            .unionAll(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .join(
+                label_propagation(edges.select("src", "dst"), iterations=lpa_iterations),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("label", "node").alias("label"))
         ),
     }
     metrics = {}

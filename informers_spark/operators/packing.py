@@ -100,6 +100,10 @@ def temperature_sample(
     (mixture_weights) is |strata| rows and broadcast; the corpus-side
     work is one map-only bucket-hash filter — re-running (or retrying
     one task) selects the identical sample."""
+    if target_rows <= 0:
+        # min(1, rate) would be 0 for every stratum — an empty result
+        # that silently looks like "sampling happened"; fail loudly.
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
     rates = mixture_weights(df, strata_col, alpha, target_rows).select(
         strata_col, (F.round(F.col("rate") * buckets)).cast("int").alias("cut")
     )
@@ -174,7 +178,10 @@ def pack_sequences(
         pdf["pack_offset"] = pd.array(offsets, dtype="int32")
         return pdf
 
-    schema = f"{id_col} long, bin int, n_tokens int, pack_id int, pack_offset int"
+    # mode="chunk" preserves the input id type; derive it here too so
+    # string (or any non-long) ids keep the same contract in both modes.
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, bin int, n_tokens int, pack_id int, pack_offset int"
     return base.groupBy("bin").applyInPandas(pack_bin, schema)
 
 

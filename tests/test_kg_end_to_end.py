@@ -203,3 +203,25 @@ def test_materialize_graph_stats_resumable(spark, kg):
     # second run: both stages skip
     m2 = materialize_graph_stats(spark, root, pagerank_iterations=2, lpa_iterations=2)
     assert m2["node_ranks"].get("resumed") and m2["node_communities"].get("resumed")
+
+
+def test_materialize_graph_stats_covers_self_loop_only_nodes(spark, tmp_path):
+    # label_propagation drops self-loops (nbr != node); a node appearing
+    # ONLY in self-loops must still land in node_communities (self-label
+    # fallback) so node_ranks and node_communities cover the same universe
+    from informers_spark.operators.graph import materialize_graph_stats
+    from informers_spark.sources.warehouse import Warehouse
+
+    root = str(tmp_path / "kg_selfloop")
+    wh = Warehouse(spark, root)
+    edges = spark.createDataFrame(
+        [("a", "b", "p", 1.0), ("b", "c", "p", 1.0), ("z", "z", "p", 1.0)],
+        ["src", "dst", "pred", "score"],
+    )
+    wh.write(edges, "edges")
+    materialize_graph_stats(spark, root, pagerank_iterations=2, lpa_iterations=2)
+    ranks = {r.node for r in wh.read("node_ranks").collect()}
+    comms = {r.node: r.label for r in wh.read("node_communities").collect()}
+    assert ranks == {"a", "b", "c", "z"}
+    assert set(comms) == ranks
+    assert comms["z"] == "z"  # self-label fallback

@@ -119,6 +119,26 @@ def test_pack_greedy_partition_independent(spark):
     assert a == b
 
 
+def test_temperature_sample_rejects_nonpositive_target(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "src"])
+    # default target_rows=0 would make every rate min(1, 0)=0 -> silently
+    # empty output; the operator must refuse instead
+    with pytest.raises(ValueError, match="target_rows"):
+        temperature_sample(df, "src", "doc_id")
+    with pytest.raises(ValueError, match="target_rows"):
+        temperature_sample(df, "src", "doc_id", target_rows=-5)
+
+
+def test_pack_greedy_preserves_id_type(spark):
+    # mode='chunk' keeps the input id type; greedy must too (its
+    # applyInPandas schema is derived from the input, not hardcoded long)
+    rows = [(f"d{i:02d}", "w " * (i % 5 + 1)) for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_sequences(df, budget=6, bins=3, mode="greedy")
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert {r.doc_id for r in out.collect()} == {r[0] for r in rows}
+
+
 def test_pack_bad_mode_raises(spark):
     with pytest.raises(ValueError):
         pack_sequences(_docs(spark, [(1, "a b")]), mode="nope")
